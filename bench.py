@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark entry: prints ONE JSON line with the headline metric.
+
+Headline: SpMM (copy_u -> sum) edges/s on one chip over an
+ogbn-arxiv-scale synthetic graph — the hot kernel under every GNN
+teacher (SURVEY.md §6: the reference publishes no throughput numbers;
+the north-star metric is edges/s/chip vs the HBM roofline).
+
+`vs_baseline` reports achieved/roofline where roofline assumes the
+minimum HBM traffic for a COO-segment SpMM: (E + 2N) * F * 4 bytes
+moved at full HBM bandwidth (v5e ~819 GB/s, v5p ~2765 GB/s).
+
+Extras carried in the same JSON object: full-batch GCN teacher step
+time and MLP student epoch time on the same graph.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N = 169_343          # ogbn-arxiv node count
+AVG_DEG = 14         # arxiv-ish after symmetrization (~2.3M directed edges)
+F = 256
+
+HBM_BW = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
+          "cpu": 100e9}
+
+
+def detect_bw():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, bw in HBM_BW.items():
+        if key in kind:
+            return bw
+    return 819e9
+
+
+def time_scalar(fn, *args, iters=5, warmup=1):
+    """Time a jitted function whose return contains a scalar we fetch.
+
+    NOTE: `block_until_ready` does not synchronize through the axon
+    relay, and bulk device->host fetches are slow; forcing execution by
+    fetching ONE scalar per iteration is the reliable method here. The
+    per-call RPC floor is measured separately and subtracted by callers.
+    """
+    def force(out):
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        return float(leaf.sum() if leaf.ndim else leaf)
+
+    import jax
+    for _ in range(warmup):
+        force(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        force(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_rpc_floor():
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda t: t + 1.0)
+    z = jnp.zeros(())
+    return time_scalar(f, z, iters=10, warmup=2)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from glnn_tpu.graph.container import build_graph
+    from glnn_tpu.ops import refops
+
+    rs = np.random.RandomState(0)
+    e = N * AVG_DEG
+    src = rs.randint(0, N, e).astype(np.int64)
+    dst = rs.randint(0, N, e).astype(np.int64)
+    g = build_graph(src, dst, N)
+    x = jnp.asarray(rs.randn(N, F).astype(np.float32))
+
+    # chain-of-k timing subtracts the per-call RPC floor exactly
+    def chain(k):
+        @jax.jit
+        def f(graph, xx):
+            h = xx
+            for _ in range(k):
+                h = refops.copy_u_sum(graph, h) * 1e-3
+            return h.sum()
+        return f
+
+    t1 = time_scalar(chain(1), g, x, iters=4)
+    t8 = time_scalar(chain(8), g, x, iters=4)
+    dt = max((t8 - t1) / 7, 1e-9)
+    edges_per_s = e / dt
+
+    bw = detect_bw()
+    roofline = bw * e / ((e + 2 * N) * F * 4)
+    vs = edges_per_s / roofline
+
+    # extras: one full-batch GCN teacher train step + one MLP student epoch
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import (
+        create_train_state, make_adam, make_gnn_train_step, make_mlp_epoch_fn,
+    )
+
+    labels = jnp.asarray(rs.randint(0, 40, N))
+    idx_train = jnp.asarray(rs.choice(N, 90_000, replace=False))
+    conf = dict(model_name="GCN", num_layers=3, hidden_dim=256, label_dim=40,
+                dropout_ratio=0.2, norm_type="none")
+    model = Model(conf)
+    opt = make_adam(0.01, 0.0)
+    rpc = measure_rpc_floor()
+
+    state = create_train_state(model.init(jax.random.PRNGKey(0), g, x), opt)
+    step = make_gnn_train_step(model, opt)
+    rng = jax.random.PRNGKey(1)
+    gcn_step_s = time_scalar(
+        lambda s: step(s, g, x, labels, idx_train, rng)[1], state, iters=5,
+    ) - rpc
+
+    sconf = dict(conf, model_name="MLP", hidden_dim=1024)
+    student = Model(sconf)
+    sstate = create_train_state(student.init(jax.random.PRNGKey(2), None,
+                                             x[:2]), opt)
+    epoch_fn = make_mlp_epoch_fn(student, opt, batch_size=4096,
+                                 criterion="nll")
+    mlp_epoch_s = time_scalar(
+        lambda s: epoch_fn(s, x, labels, jax.random.PRNGKey(3))[1], sstate,
+        iters=3, warmup=1,
+    ) - rpc
+
+    print(json.dumps({
+        "metric": "spmm_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 4),
+        "extras": {
+            "graph": f"synthetic arxiv-scale N={N} E={e} F={F}",
+            "spmm_ms": round(dt * 1e3, 3),
+            "roofline_edges_per_s": round(roofline, 1),
+            "gcn3_teacher_step_ms": round(gcn_step_s * 1e3, 3),
+            "mlp3w4_student_epoch_ms": round(mlp_epoch_s * 1e3, 3),
+            "rpc_floor_ms": round(rpc * 1e3, 3),
+            "device": jax.devices()[0].device_kind,
+            "ops_backend": "xla",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Shared CLI plumbing for the teacher/student entry points.
+
+Flag surface and output-directory contract preserved from the
+reference CLIs (/root/reference/train_teacher.py:21-149,167-199 and
+/root/reference/train_student.py): outputs land in
+`outputs/{transductive | inductive/split_rate_R}/{dataset}/{model}/seed_{s}/`
+with `log`, `out.npz`, optional `loss_and_score.npz` + checkpoint, and
+append-only `exp_results` / `min_cut_loss` files one level up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+DEFAULT_CONFIG = os.path.join(os.path.dirname(__file__), "..", "configs",
+                              "train.conf.yaml")
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--device", type=int, default=0,
+                        help="Accelerator ordinal (-1 forces CPU)")
+    parser.add_argument("--seed", type=int, default=0, help="Random seed")
+    parser.add_argument("--log_level", type=int, default=20,
+                        help="10: DEBUG, 20: INFO, 30: WARNING")
+    parser.add_argument("--console_log", action="store_true",
+                        help="Mirror log lines to the console")
+    parser.add_argument("--output_path", type=str, default="outputs",
+                        help="Path to save outputs")
+    parser.add_argument("--num_exp", type=int, default=1,
+                        help="Repeat how many experiments")
+    parser.add_argument("--exp_setting", type=str, default="tran",
+                        help="One of [tran, ind]")
+    parser.add_argument("--eval_interval", type=int, default=1,
+                        help="Evaluate once per how many epochs")
+    parser.add_argument("--save_results", action="store_true",
+                        help="Also save loss curves and model checkpoint")
+
+    # dataset
+    parser.add_argument("--dataset", type=str, default="cora")
+    parser.add_argument("--data_path", type=str, default="./data")
+    parser.add_argument("--labelrate_train", type=int, default=20,
+                        help="Labeled nodes per class in the train set")
+    parser.add_argument("--labelrate_val", type=int, default=30,
+                        help="Labeled nodes per class in the valid set")
+    parser.add_argument("--split_idx", type=int, default=0,
+                        help="NonHom/BGNN datasets: which fixed split")
+
+    # model
+    parser.add_argument("--model_config_path", type=str,
+                        default=DEFAULT_CONFIG)
+    parser.add_argument("--num_layers", type=int, default=2)
+    parser.add_argument("--hidden_dim", type=int, default=128)
+    parser.add_argument("--dropout_ratio", type=float, default=0)
+    parser.add_argument("--norm_type", type=str, default="none",
+                        help="One of [none, batch, layer]")
+
+    # SAGE specific
+    parser.add_argument("--batch_size", type=int, default=512)
+    parser.add_argument("--fan_out", type=str, default="5,5",
+                        help="Comma list of per-layer fanouts for sampled SAGE")
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="Unused on TPU (sampling is on-device); kept "
+                             "for flag compatibility")
+    parser.add_argument("--sage_sampling", type=str, default="auto",
+                        help="SAGE trainer mode: auto|full|sampled")
+
+    # optimization
+    parser.add_argument("--learning_rate", type=float, default=0.01)
+    parser.add_argument("--weight_decay", type=float, default=0.0005)
+    parser.add_argument("--max_epoch", type=int, default=500)
+    parser.add_argument("--patience", type=int, default=50,
+                        help="Early stop after this many non-improving evals")
+
+    # ablation
+    parser.add_argument("--feature_noise", type=float, default=0,
+                        help="Blend features with white noise: (1-a)x + aN")
+    parser.add_argument("--split_rate", type=float, default=0.2,
+                        help="Inductive split rate (see graph_split)")
+    parser.add_argument("--compute_min_cut", action="store_true",
+                        help="Compute and append the min-cut loss")
+    parser.add_argument("--feature_aug_k", type=int, default=0,
+                        help="GA-MLP: propagate features k hops first")
+
+
+def parse_fan_out(fan_out: str) -> list[int]:
+    """Int parsing — the reference `eval()`s each piece
+    (train_and_eval.py:180), consciously fixed here."""
+    return [int(x) for x in str(fan_out).split(",")]
+
+
+def teacher_output_dir(args, model_name: str) -> Path:
+    if args.exp_setting == "tran":
+        return Path.cwd().joinpath(args.output_path, "transductive",
+                                   args.dataset, model_name,
+                                   f"seed_{args.seed}")
+    if args.exp_setting == "ind":
+        return Path.cwd().joinpath(args.output_path, "inductive",
+                                   f"split_rate_{args.split_rate}",
+                                   args.dataset, model_name,
+                                   f"seed_{args.seed}")
+    raise ValueError(f"Unknown experiment setting! {args.exp_setting}")
+
+
+def apply_output_path_reroutes(args, is_student: bool = False) -> None:
+    """noisy-feature / feature-aug runs get rerouted output roots
+    (train_teacher.py:167-176). The reference only reroutes when
+    seed == 0 because repeat_run mutates seed after the first run;
+    we keep the same guard for directory-layout parity."""
+    if args.feature_noise != 0 and args.seed == 0:
+        args.output_path = str(Path.cwd().joinpath(
+            args.output_path, "noisy_features", f"noise_{args.feature_noise}"
+        ))
+        if is_student:
+            args.out_t_path = args.output_path
+    if args.feature_aug_k > 0 and args.seed == 0:
+        args.output_path = str(Path.cwd().joinpath(
+            args.output_path, "aug_features", f"aug_hop_{args.feature_aug_k}"
+        ))
+        if is_student:
+            args.student = f"GA{args.feature_aug_k}{args.student}"
+        else:
+            args.teacher = f"GA{args.feature_aug_k}{args.teacher}"

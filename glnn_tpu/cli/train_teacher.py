@@ -1,0 +1,163 @@
+"""Teacher CLI: train a GNN (or MLP baseline) and dump soft labels.
+
+Pipeline (mirrors /root/reference/train_teacher.py:152-314): seed ->
+output dir -> load data -> optional feature noise -> YAML config merge
+(YAML beats CLI) -> Model + Adam -> run_{transductive,inductive} ->
+save `out.npz` all-node log-probs (+ optional curves/checkpoint/min-cut).
+Multi-seed `--num_exp` aggregates mean/std and appends to `exp_results`.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from glnn_tpu.cli.common import (
+    add_common_args,
+    apply_output_path_reroutes,
+    teacher_output_dir,
+)
+from glnn_tpu.graph.datasets import load_data
+from glnn_tpu.nn.models import Model
+from glnn_tpu.ops.graph_utils import compute_min_cut_loss, feature_prop
+from glnn_tpu.train import make_adam, run_inductive, run_transductive
+from glnn_tpu.utils import (
+    check_writable,
+    get_logger,
+    get_training_config,
+    graph_split,
+    set_seed,
+)
+from glnn_tpu.utils.config import merge_args_with_config
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="TPU-native GLNN teacher")
+    add_common_args(parser)
+    parser.add_argument("--teacher", type=str, default="SAGE",
+                        help="Teacher model")
+    return parser.parse_args(argv)
+
+
+def run(args):
+    """Train one teacher; returns the score list ([test] for tran,
+    [test_tran, test_ind] for ind)."""
+    set_seed(args.seed)
+    if args.device < 0:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    apply_output_path_reroutes(args)
+    output_dir = teacher_output_dir(args, args.teacher)
+    args.output_dir = output_dir
+    check_writable(output_dir, overwrite=False)
+    logger = get_logger(output_dir.joinpath("log"), args.console_log,
+                        args.log_level)
+    logger.info(f"output_dir: {output_dir}")
+
+    g, labels, idx_train, idx_val, idx_test = load_data(
+        args.dataset, args.data_path, split_idx=args.split_idx,
+        seed=args.seed, labelrate_train=args.labelrate_train,
+        labelrate_val=args.labelrate_val,
+    )
+    logger.info(f"Total {g.number_of_nodes()} nodes.")
+    logger.info(f"Total {g.number_of_edges()} edges.")
+
+    feats = np.asarray(g.ndata["feat"], np.float32)
+    args.feat_dim = feats.shape[1]
+    args.label_dim = int(labels.max()) + 1
+
+    if 0 < args.feature_noise <= 1:
+        rs = np.random.RandomState(args.seed)
+        feats = ((1 - args.feature_noise) * feats
+                 + args.feature_noise
+                 * rs.randn(*feats.shape).astype(np.float32))
+
+    conf = {}
+    if args.model_config_path is not None:
+        conf = get_training_config(args.model_config_path, args.teacher,
+                                   args.dataset)
+    conf = merge_args_with_config(dict(args.__dict__), conf, logger)
+    logger.info(f"conf: { {k: v for k, v in conf.items() if k != 'output_dir'} }")
+
+    model = Model(conf)
+    optimizer = make_adam(conf["learning_rate"], conf["weight_decay"])
+
+    loss_and_score = []
+    G = g.to_device()
+    if args.exp_setting == "tran":
+        indices = (idx_train, idx_val, idx_test)
+        if args.feature_aug_k > 0:
+            feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
+        out, score_val, score_test = run_transductive(
+            conf, model, G, feats, labels, indices, optimizer, logger,
+            loss_and_score,
+        )
+        score_lst = [score_test]
+    elif args.exp_setting == "ind":
+        indices = graph_split(idx_train, idx_val, idx_test, args.split_rate,
+                              args.seed)
+        obs_g = g.subgraph(indices[3])
+        obs_G = obs_g.to_device()
+        if args.feature_aug_k > 0:
+            idx_obs = indices[3]
+            obs_feats = np.asarray(
+                feature_prop(feats[idx_obs], obs_G, args.feature_aug_k))
+            feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
+            feats[idx_obs] = obs_feats
+        out, score_val, score_test_tran, score_test_ind = run_inductive(
+            conf, model, G, obs_G, feats, labels, indices, optimizer, logger,
+            loss_and_score,
+        )
+        score_lst = [score_test_tran, score_test_ind]
+    else:
+        raise ValueError(f"Unknown experiment setting! {args.exp_setting}")
+
+    logger.info(
+        f"num_layers: {conf['num_layers']}. hidden_dim: "
+        f"{conf['hidden_dim']}. dropout_ratio: {conf['dropout_ratio']}"
+    )
+
+    np.savez(output_dir.joinpath("out"), np.asarray(out))
+
+    if args.save_results:
+        np.savez(output_dir.joinpath("loss_and_score"),
+                 np.array(loss_and_score))
+
+    if args.exp_setting == "tran" and args.compute_min_cut:
+        min_cut = float(compute_min_cut_loss(G, np.asarray(out)))
+        with open(output_dir.parent.joinpath("min_cut_loss"), "a+") as f:
+            f.write(f"{min_cut :.4f}\n")
+
+    return score_lst
+
+
+def repeat_run(args):
+    scores = []
+    for seed in range(args.num_exp):
+        args.seed = seed
+        scores.append(run(args))
+    scores_np = np.array(scores)
+    return scores_np.mean(axis=0), scores_np.std(axis=0)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    if args.num_exp == 1:
+        score = run(args)
+        score_str = "".join([f"{s : .4f}\t" for s in score])
+    else:
+        score_mean, score_std = repeat_run(args)
+        score_str = "".join(
+            [f"{s : .4f}\t" for s in score_mean]
+            + [f"{s : .4f}\t" for s in score_std]
+        )
+
+    with open(args.output_dir.parent.joinpath("exp_results"), "a+") as f:
+        f.write(f"{score_str}\n")
+    print(score_str)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from glnn_tpu.distributed.mesh import make_mesh, shard_graph, shard_nodes
+from glnn_tpu.distributed.partition import contiguous_partition
+
+__all__ = ["make_mesh", "shard_graph", "shard_nodes",
+           "contiguous_partition"]

@@ -1,0 +1,135 @@
+"""Static graph containers for XLA.
+
+Design: the canonical device-side graph is a destination-sorted COO edge
+list plus the CSC ``indptr`` implied by that sort. All shapes are static,
+so any jitted function over a given dataset traces exactly once.
+
+Why dst-sorted COO (== CSC): every message-passing primitive the GLNN
+model zoo needs (reference: /root/reference/models.py:4 delegates to DGL
+GSpMM/GSDDMM kernels) reduces messages *at the destination*; with edges
+sorted by receiver, ``jax.ops.segment_sum(..., indices_are_sorted=True)``
+and the Pallas kernels both stream edge blocks with monotone output rows.
+
+Padding convention: optional trailing padding edges point src=dst=n_nodes
+(a ghost node). Aggregations allocate n_nodes+1 segments and drop the
+ghost row, so padded and unpadded graphs share one code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["senders", "receivers", "indptr", "edge_weight",
+                 "in_degrees", "out_degrees"],
+    meta_fields=["n_nodes", "n_edges"],
+)
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Device-side static graph.
+
+    Attributes:
+      senders:    int32[E_pad]  source node id per edge.
+      receivers:  int32[E_pad]  destination node id per edge, nondecreasing.
+      indptr:     int32[N+2]    CSC row pointer over receivers (incl. ghost
+                                row N); in-edges of v are indptr[v]:indptr[v+1].
+      edge_weight: float32[E_pad] or None  per-edge weight (GCN-style norms
+                                are computed from degrees, not stored here;
+                                this field carries dataset-level weights).
+      in_degrees:  float32[N]   number of in-edges per node (real edges only).
+      out_degrees: float32[N]   number of out-edges per node.
+      n_nodes:    static int    number of real nodes N.
+      n_edges:    static int    number of real (non-padding) edges.
+    """
+
+    senders: jax.Array
+    receivers: jax.Array
+    indptr: jax.Array
+    edge_weight: jax.Array | None
+    in_degrees: jax.Array
+    out_degrees: jax.Array
+    n_nodes: int
+    n_edges: int
+
+    @property
+    def num_nodes(self) -> int:
+        return self.n_nodes
+
+    @property
+    def num_edges(self) -> int:
+        return self.n_edges
+
+    @property
+    def e_pad(self) -> int:
+        """Total edge-array length including padding."""
+        return self.senders.shape[0]
+
+
+def build_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_nodes: int,
+    edge_weight: np.ndarray | None = None,
+    pad_to: int | None = None,
+) -> Graph:
+    """Build a dst-sorted ``Graph`` from host COO arrays.
+
+    Mirrors what `dgl.graph((row, col))` provides the reference models
+    (/root/reference/dataloader.py:105) but in a single canonical,
+    statically-shaped layout.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if src.shape != dst.shape:
+        raise ValueError("src/dst shape mismatch")
+    n_edges = int(src.shape[0])
+
+    order = np.argsort(dst, kind="stable")
+    src_s = src[order]
+    dst_s = dst[order]
+    w_s = None if edge_weight is None else np.asarray(edge_weight, np.float32)[order]
+
+    in_deg = np.bincount(dst, minlength=n_nodes).astype(np.float32)
+    out_deg = np.bincount(src, minlength=n_nodes).astype(np.float32)
+
+    e_pad = n_edges if pad_to is None else int(pad_to)
+    if e_pad < n_edges:
+        raise ValueError(f"pad_to={e_pad} < n_edges={n_edges}")
+    if e_pad > n_edges:
+        ghost = np.full(e_pad - n_edges, n_nodes, dtype=np.int64)
+        src_s = np.concatenate([src_s, ghost])
+        dst_s = np.concatenate([dst_s, ghost])
+        if w_s is not None:
+            w_s = np.concatenate([w_s, np.zeros(e_pad - n_edges, np.float32)])
+
+    # CSC indptr over the padded dst array (ghost node = row N).
+    counts = np.bincount(dst_s, minlength=n_nodes + 1)
+    indptr = np.zeros(n_nodes + 2, dtype=np.int32)
+    np.cumsum(counts, out=indptr[1:])
+
+    return Graph(
+        senders=jnp.asarray(src_s, jnp.int32),
+        receivers=jnp.asarray(dst_s, jnp.int32),
+        indptr=jnp.asarray(indptr, jnp.int32),
+        edge_weight=None if w_s is None else jnp.asarray(w_s, jnp.float32),
+        in_degrees=jnp.asarray(in_deg),
+        out_degrees=jnp.asarray(out_deg),
+        n_nodes=int(n_nodes),
+        n_edges=n_edges,
+    )
+
+
+def graph_from_csr(
+    indptr: np.ndarray, indices: np.ndarray, n_nodes: int, **kw
+) -> Graph:
+    """Build from host CSR (row = src, indices = dst neighbors)."""
+    indptr = np.asarray(indptr, np.int64)
+    src = np.repeat(np.arange(n_nodes, dtype=np.int64), np.diff(indptr))
+    return build_graph(src, np.asarray(indices, np.int64), n_nodes, **kw)

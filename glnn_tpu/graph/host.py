@@ -1,0 +1,140 @@
+"""Host-side graph representation and edge-set surgery.
+
+Everything here runs once at data-ingest time on the host (numpy /
+scipy.sparse, optionally accelerated by the native C++ library in
+`native/`), producing the static arrays that `container.build_graph`
+ships to the device. This replaces the reference's reliance on DGL's
+C++ graph ops (to_bidirected / add_self_loop / subgraph / largest-CC;
+see /root/reference/dataloader.py:75-77,127,159 and
+/root/reference/train_and_eval.py:324).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from glnn_tpu.graph.container import Graph, build_graph
+
+
+class HostGraph:
+    """A mutable host graph: COO edges + node features.
+
+    API kept close in spirit to the reference's `g` objects: `.ndata`
+    carries node features, `num_nodes()`/`num_edges()` match, and
+    `subgraph(idx)` returns the node-induced subgraph with nodes
+    relabeled in `idx` order (the contract run_inductive depends on,
+    /root/reference/train_and_eval.py:324).
+    """
+
+    def __init__(self, src: np.ndarray, dst: np.ndarray, n_nodes: int):
+        self.src = np.asarray(src, np.int64)
+        self.dst = np.asarray(dst, np.int64)
+        self.n_nodes = int(n_nodes)
+        self.ndata: dict[str, np.ndarray] = {}
+        self._device_graph: Graph | None = None
+
+    # -- basic queries ------------------------------------------------
+    def num_nodes(self) -> int:
+        return self.n_nodes
+
+    def number_of_nodes(self) -> int:
+        return self.n_nodes
+
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    def number_of_edges(self) -> int:
+        return self.num_edges()
+
+    def in_degrees(self) -> np.ndarray:
+        return np.bincount(self.dst, minlength=self.n_nodes)
+
+    def out_degrees(self) -> np.ndarray:
+        return np.bincount(self.src, minlength=self.n_nodes)
+
+    # -- edge surgery (all return new HostGraph, features carried) ----
+    def _with_edges(self, src, dst, n_nodes=None) -> "HostGraph":
+        g = HostGraph(src, dst, self.n_nodes if n_nodes is None else n_nodes)
+        g.ndata = dict(self.ndata)
+        return g
+
+    def add_reverse_edges(self) -> "HostGraph":
+        """Append reversed copies of every edge (keeps duplicates),
+        mirroring `g.add_edges(dsts, srcs)` for ogbn-arxiv
+        (/root/reference/dataloader.py:75-76)."""
+        return self._with_edges(
+            np.concatenate([self.src, self.dst]),
+            np.concatenate([self.dst, self.src]),
+        )
+
+    def to_bidirected(self) -> "HostGraph":
+        """Symmetrize and deduplicate the edge set."""
+        src = np.concatenate([self.src, self.dst])
+        dst = np.concatenate([self.dst, self.src])
+        key = src * self.n_nodes + dst
+        _, keep = np.unique(key, return_index=True)
+        return self._with_edges(src[keep], dst[keep])
+
+    def remove_self_loop(self) -> "HostGraph":
+        keep = self.src != self.dst
+        return self._with_edges(self.src[keep], self.dst[keep])
+
+    def add_self_loop(self) -> "HostGraph":
+        loops = np.arange(self.n_nodes, dtype=np.int64)
+        return self._with_edges(
+            np.concatenate([self.src, loops]), np.concatenate([self.dst, loops])
+        )
+
+    def subgraph(self, idx: np.ndarray) -> "HostGraph":
+        """Node-induced subgraph, relabeled so new id i == idx[i]."""
+        idx = np.asarray(idx, np.int64)
+        new_id = np.full(self.n_nodes, -1, np.int64)
+        new_id[idx] = np.arange(idx.shape[0])
+        keep = (new_id[self.src] >= 0) & (new_id[self.dst] >= 0)
+        g = HostGraph(new_id[self.src[keep]], new_id[self.dst[keep]], idx.shape[0])
+        g.ndata = {k: v[idx] for k, v in self.ndata.items()}
+        return g
+
+    # -- CSR views ----------------------------------------------------
+    def csr(self) -> tuple[np.ndarray, np.ndarray]:
+        """Out-adjacency CSR (indptr, indices): neighbors reachable FROM v."""
+        order = np.argsort(self.src, kind="stable")
+        indices = self.dst[order]
+        counts = np.bincount(self.src, minlength=self.n_nodes)
+        indptr = np.zeros(self.n_nodes + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return indptr, indices
+
+    def csc(self) -> tuple[np.ndarray, np.ndarray]:
+        """In-adjacency CSR (indptr, indices): in-neighbors of v."""
+        order = np.argsort(self.dst, kind="stable")
+        indices = self.src[order]
+        counts = np.bincount(self.dst, minlength=self.n_nodes)
+        indptr = np.zeros(self.n_nodes + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return indptr, indices
+
+    def adj_scipy(self) -> sp.csr_matrix:
+        return sp.csr_matrix(
+            (np.ones(self.num_edges(), np.float32), (self.src, self.dst)),
+            shape=(self.n_nodes, self.n_nodes),
+        )
+
+    # -- device handoff ----------------------------------------------
+    def to_device(self, pad_to: int | None = None) -> Graph:
+        if self._device_graph is None or pad_to is not None:
+            self._device_graph = build_graph(
+                self.src, self.dst, self.n_nodes, pad_to=pad_to
+            )
+        return self._device_graph
+
+
+def largest_connected_component(g: HostGraph) -> np.ndarray:
+    """Node indices of the largest (weakly) connected component."""
+    adj = g.adj_scipy()
+    n_comp, labels = sp.csgraph.connected_components(adj, directed=False)
+    if n_comp == 1:
+        return np.arange(g.n_nodes)
+    sizes = np.bincount(labels)
+    return np.where(labels == sizes.argmax())[0]

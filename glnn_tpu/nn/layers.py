@@ -1,0 +1,138 @@
+"""Graph conv layers (flax) with DGL-0.6.1-parity math.
+
+Formulas implemented (SURVEY.md §2.2 contracts; reference instantiation
+sites cited per class):
+
+* SAGEConvGCN  — SAGEConv(aggregator_type="gcn"): for dst v,
+  h~_v = (sum_{u in N_in(v)} h_u + h_v) / (deg_in(v) + 1);
+  out = W h~ + b. No separate self-weight, no activation inside.
+  (models.py:84-99)
+* GraphConv    — norm='both': D^-1/2 A D^-1/2 X W + b, degrees clamped
+  to >=1, optional fused activation. W applied before aggregation when
+  in_dim > out_dim (fewer FLOPs), after otherwise — same math.
+  (models.py:170-187)
+* GATConv      — per head: e_uv = LeakyReLU_.2(a_l.Wh_u + a_r.Wh_v),
+  alpha = softmax over in-edges, h'_v = sum alpha Wh_u; feat_drop on
+  input, attn_drop on alpha; no bias, no residual. (models.py:227-266)
+* appnp_propagate — k iterations of
+  h <- (1-alpha) D^-1/2 A_drop D^-1/2 h + alpha h0, with per-edge
+  dropout (zero + 1/(1-p) rescale) during training. (models.py:323)
+
+All layers consume the static `Graph` and the Tier-A ops; swapping in
+Pallas kernels happens inside glnn_tpu.ops without touching this file.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from glnn_tpu.graph.container import Graph
+from glnn_tpu.nn import initializers as gi
+from glnn_tpu.ops import copy_u_sum, edge_softmax, gcn_norm_both, u_add_v, u_mul_e_sum
+
+
+class SAGEConvGCN(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array,
+                 x_dst: Optional[jax.Array] = None) -> jax.Array:
+        if x_dst is None:
+            x_dst = x
+        neigh = copy_u_sum(g, x)
+        h = (neigh + x_dst) / (g.in_degrees[:, None] + 1.0)
+        return nn.Dense(
+            self.out_dim,
+            kernel_init=gi.xavier_uniform(math.sqrt(2.0)),
+            bias_init=gi.torch_linear_bias(x.shape[-1]),
+        )(h)
+
+
+class GraphConv(nn.Module):
+    out_dim: int
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        w = self.param("kernel", gi.xavier_uniform(), (in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        if in_dim > self.out_dim:
+            h = gcn_norm_both(g, x @ w)
+        else:
+            h = gcn_norm_both(g, x) @ w
+        h = h + b
+        if self.activation is not None:
+            h = self.activation(h)
+        return h
+
+
+class GATConv(nn.Module):
+    out_dim: int            # per-head output dim
+    num_heads: int
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array, training: bool = False) -> jax.Array:
+        h = nn.Dropout(self.feat_drop, deterministic=not training)(x)
+        feat = nn.Dense(
+            self.out_dim * self.num_heads, use_bias=False,
+            kernel_init=gi.xavier_normal(math.sqrt(2.0)),
+        )(h).reshape(-1, self.num_heads, self.out_dim)
+
+        attn_l = self.param("attn_l", gi.attn_vector_normal(),
+                            (self.num_heads, self.out_dim))
+        attn_r = self.param("attn_r", gi.attn_vector_normal(),
+                            (self.num_heads, self.out_dim))
+        el = jnp.sum(feat * attn_l, axis=-1)  # [N, H]
+        er = jnp.sum(feat * attn_r, axis=-1)
+
+        e = u_add_v(g, el, er)                # [E, H]
+        e = nn.leaky_relu(e, self.negative_slope)
+        alpha = edge_softmax(g, e)            # [E, H]
+        alpha = nn.Dropout(self.attn_drop, deterministic=not training)(alpha)
+
+        out = u_mul_e_sum(g, feat, alpha)     # [N, H, D]
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+def appnp_propagate(g: Graph, h: jax.Array, k: int, alpha: float,
+                    edge_drop: float, training: bool = False,
+                    rng: Optional[jax.Array] = None) -> jax.Array:
+    """APPNPConv(k, alpha, edge_drop) propagation after the MLP head."""
+    h0 = h
+    use_drop = training and edge_drop > 0.0
+    if use_drop and rng is None:
+        raise ValueError("appnp_propagate needs an rng when edge_drop is on")
+    for i in range(k):
+        if use_drop:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, i), 1.0 - edge_drop, (g.e_pad,)
+            )
+            w = keep.astype(h.dtype) / (1.0 - edge_drop)
+            prop = gcn_norm_both(g, h, edge_weight=w)
+        else:
+            prop = gcn_norm_both(g, h)
+        h = (1.0 - alpha) * prop + alpha * h0
+    return h
+
+
+def make_norm(norm_type: str, training: bool):
+    """BatchNorm1d / LayerNorm with torch eps+momentum (1e-5, 0.1)."""
+    if norm_type == "batch":
+        return nn.BatchNorm(
+            use_running_average=not training, momentum=0.9, epsilon=1e-5
+        )
+    if norm_type == "layer":
+        return nn.LayerNorm(epsilon=1e-5)
+    raise ValueError(f"unknown norm_type {norm_type!r}")

@@ -1,0 +1,252 @@
+"""Model zoo: MLP, SAGE, GCN, GAT, APPNP + substring-dispatch wrapper.
+
+Architecture contracts from the reference (/root/reference/models.py):
+* every model returns ``(h_list, h)`` where h_list holds the
+  intermediate hidden states (the fitnet hook, models.py:414-423);
+* hidden-layer block ordering per model:
+    MLP/SAGE/APPNP: linear/conv -> append h -> norm -> relu -> dropout
+    GCN:            conv(act fused) -> append h -> norm -> dropout
+    GAT:            conv(act fused per head) -> flatten -> append
+  and the last layer is always bare (GAT: mean over heads);
+* GAT divides hidden_dim by num_heads and requires num_layers > 1
+  (models.py:218-225);
+* APPNP runs its MLP first, then one APPNPConv(k=10, alpha=0.1,
+  edge_drop=0.5) propagation (models.py:323,343);
+* the wrapper dispatches on SUBSTRING of model_name, MLP checked first,
+  so "MLP3w4" or "GA1MLP" hit MLP (models.py:355-403).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from glnn_tpu.graph.container import Graph
+from glnn_tpu.nn import initializers as gi
+from glnn_tpu.nn.layers import (
+    GATConv,
+    GraphConv,
+    SAGEConvGCN,
+    appnp_propagate,
+    make_norm,
+)
+
+
+def _torch_dense(out_dim: int, in_dim: int) -> nn.Dense:
+    return nn.Dense(
+        out_dim,
+        kernel_init=gi.torch_linear_kernel,
+        bias_init=gi.torch_linear_bias(in_dim),
+    )
+
+
+class MLP(nn.Module):
+    num_layers: int
+    hidden_dim: int
+    output_dim: int
+    dropout_ratio: float
+    norm_type: str = "none"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False):
+        h = x
+        h_list = []
+        for l in range(self.num_layers):
+            out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
+            h = _torch_dense(out, h.shape[-1])(h)
+            if l != self.num_layers - 1:
+                h_list.append(h)
+                if self.norm_type != "none":
+                    h = make_norm(self.norm_type, training)(h)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout_ratio, deterministic=not training)(h)
+        return h_list, h
+
+
+class SAGE(nn.Module):
+    num_layers: int
+    hidden_dim: int
+    output_dim: int
+    dropout_ratio: float
+    norm_type: str = "none"
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array, training: bool = False):
+        h = x
+        h_list = []
+        for l in range(self.num_layers):
+            out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
+            h = SAGEConvGCN(out)(g, h)
+            if l != self.num_layers - 1:
+                h_list.append(h)
+                if self.norm_type != "none":
+                    h = make_norm(self.norm_type, training)(h)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout_ratio, deterministic=not training)(h)
+        return h_list, h
+
+
+class GCN(nn.Module):
+    num_layers: int
+    hidden_dim: int
+    output_dim: int
+    dropout_ratio: float
+    norm_type: str = "none"
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array, training: bool = False):
+        h = x
+        h_list = []
+        for l in range(self.num_layers):
+            last = l == self.num_layers - 1
+            out = self.output_dim if last else self.hidden_dim
+            h = GraphConv(out, activation=None if last else nn.relu)(g, h)
+            if not last:
+                h_list.append(h)
+                if self.norm_type != "none":
+                    h = make_norm(self.norm_type, training)(h)
+                h = nn.Dropout(self.dropout_ratio, deterministic=not training)(h)
+        return h_list, h
+
+
+class GAT(nn.Module):
+    num_layers: int
+    hidden_dim: int          # total hidden width; divided by num_heads
+    output_dim: int
+    dropout_ratio: float
+    num_heads: int = 8
+    attn_drop: float = 0.3
+    negative_slope: float = 0.2
+
+    def setup(self):
+        assert self.num_layers > 1, "GAT requires num_layers > 1"
+        per_head = self.hidden_dim // self.num_heads
+        heads = [self.num_heads] * self.num_layers + [1]
+        convs = []
+        for l in range(self.num_layers - 1):
+            convs.append(GATConv(
+                per_head, heads[l], feat_drop=self.dropout_ratio,
+                attn_drop=self.attn_drop,
+                negative_slope=self.negative_slope, activation=nn.relu,
+            ))
+        convs.append(GATConv(
+            self.output_dim, heads[-1], feat_drop=self.dropout_ratio,
+            attn_drop=self.attn_drop,
+            negative_slope=self.negative_slope, activation=None,
+        ))
+        self.convs = convs
+
+    def __call__(self, g: Graph, x: jax.Array, training: bool = False):
+        h = x
+        h_list = []
+        for l, conv in enumerate(self.convs):
+            h = conv(g, h, training=training)       # [N, H, D]
+            if l != self.num_layers - 1:
+                h = h.reshape(h.shape[0], -1)       # concat heads
+                h_list.append(h)
+            else:
+                h = h.mean(axis=1)                  # average heads
+        return h_list, h
+
+
+class APPNP(nn.Module):
+    num_layers: int
+    hidden_dim: int
+    output_dim: int
+    dropout_ratio: float
+    norm_type: str = "none"
+    edge_drop: float = 0.5
+    alpha: float = 0.1
+    k: int = 10
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array, training: bool = False):
+        h = x
+        h_list = []
+        for l in range(self.num_layers):
+            out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
+            h = _torch_dense(out, h.shape[-1])(h)
+            if l != self.num_layers - 1:
+                h_list.append(h)
+                if self.norm_type != "none":
+                    h = make_norm(self.norm_type, training)(h)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout_ratio, deterministic=not training)(h)
+        rng = (self.make_rng("dropout")
+               if training and self.edge_drop > 0 else None)
+        h = appnp_propagate(g, h, self.k, self.alpha, self.edge_drop,
+                            training=training, rng=rng)
+        return h_list, h
+
+
+class Model:
+    """Substring-dispatch wrapper + functional apply helpers.
+
+    Unlike the torch reference this is not itself a module: it owns the
+    flax module and exposes init/apply that thread the (params,
+    batch_stats) variables explicitly — the idiomatic JAX shape for the
+    train engine's pure step functions.
+    """
+
+    def __init__(self, conf: dict):
+        self.model_name = conf["model_name"]
+        self.conf = conf
+        kw = dict(
+            num_layers=conf["num_layers"],
+            hidden_dim=conf["hidden_dim"],
+            output_dim=conf["label_dim"],
+            dropout_ratio=conf["dropout_ratio"],
+        )
+        name = self.model_name
+        if "MLP" in name:
+            self.module = MLP(norm_type=conf.get("norm_type", "none"), **kw)
+        elif "SAGE" in name:
+            self.module = SAGE(norm_type=conf.get("norm_type", "none"), **kw)
+        elif "GCN" in name:
+            self.module = GCN(norm_type=conf.get("norm_type", "none"), **kw)
+        elif "GAT" in name:
+            self.module = GAT(
+                num_heads=conf.get("num_heads", 8),
+                attn_drop=conf.get("attn_dropout_ratio", 0.3),
+                **kw,
+            )
+        elif "APPNP" in name:
+            self.module = APPNP(norm_type=conf.get("norm_type", "none"), **kw)
+        else:
+            raise ValueError(f"Unknown model name: {name}")
+        self.is_mlp = "MLP" in name
+
+    # -- functional API ----------------------------------------------
+    def init(self, key: jax.Array, g: Optional[Graph], feats: jax.Array):
+        dummy = feats[:2] if self.is_mlp else feats
+        if self.is_mlp:
+            return self.module.init({"params": key}, dummy, training=False)
+        return self.module.init({"params": key}, g, dummy, training=False)
+
+    def apply(self, variables, g, feats, training=False, rngs=None,
+              mutable=False):
+        """Returns (h_list, h) (+ updated variable dict when mutable)."""
+        args = (feats,) if self.is_mlp else (g, feats)
+        return self.module.apply(
+            variables, *args, training=training, rngs=rngs,
+            mutable=["batch_stats"] if mutable else False,
+        )
+
+    def forward(self, variables, g, feats, training=False, rngs=None,
+                mutable=False):
+        """Final logits only (reference Model.forward, models.py:405-412)."""
+        out = self.apply(variables, g, feats, training, rngs, mutable)
+        if mutable:
+            (h_list, h), updated = out
+            return h, updated
+        return out[1]
+
+    def inference(self, variables, g, feats):
+        """Eval-mode full-graph forward. The reference's SAGE layer-wise
+        minibatched inference (models.py:121-148) exists to bound GPU
+        memory; on TPU the full-neighbor computation is exactly the
+        full-graph forward, which we run directly (same output)."""
+        return self.forward(variables, g, feats, training=False)

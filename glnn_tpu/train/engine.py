@@ -1,0 +1,526 @@
+"""Jitted train/eval primitives + the four epoch runners.
+
+Mirrors the reference's training engine (/root/reference/train_and_eval.py)
+with the epoch loop on the host and every numeric step jit-compiled:
+
+* `train`-style full-batch GNN step (train_and_eval.py:12-29): one
+  device call per epoch; loss reported PRE lamb-scaling, gradient
+  scaled by lamb.
+* `train_mini_batch`-style MLP epoch (train_and_eval.py:59-86): one
+  jitted lax.scan over shuffled fixed-size batches; the tail remainder
+  is DROPPED each epoch when N >= batch_size (preserved quirk — it
+  affects products student convergence).
+* `evaluate` / `evaluate_mini_batch` (train_and_eval.py:89-136): eval
+  returns all-node log-probs; loss/score computed on a subset.
+* Runners `run_transductive` / `run_inductive` /
+  `distill_run_transductive` / `distill_run_inductive`
+  (train_and_eval.py:144-742): eval every `eval_interval` epochs,
+  best-checkpoint on `score_val >= best` (ties refresh the snapshot),
+  early stop when `count == patience`, restore best before final eval.
+  Distillation runs TWO separate optimizer passes per epoch (hard pass
+  scaled lamb, soft pass scaled 1-lamb) — never a fused objective; the
+  Adam moments advance on the zero-gradient pass when lamb == 0.
+
+TPU notes: the SAGE teacher trains full-batch here (full-neighbor
+aggregation is a plain SpMM on TPU); the fanout-sampled path lives in
+glnn_tpu.sampling and is selected via conf["sage_sampling"].
+SAGE layer-wise minibatched inference (models.py:121-148) is replaced
+by the equivalent full-graph forward.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glnn_tpu.train.losses import (
+    accuracy,
+    kl_div_batchmean_log_target,
+    log_softmax,
+    nll_loss,
+)
+from glnn_tpu.train.state import TrainState
+
+
+# --------------------------------------------------------------------
+# Step factories
+# --------------------------------------------------------------------
+
+def _split_apply(model, params, batch_stats, g, feats, rng):
+    """Training-mode forward returning (logits, new_batch_stats)."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    out = model.apply(
+        variables, g, feats, training=True,
+        rngs={"dropout": rng} if rng is not None else None,
+        mutable=bool(batch_stats),
+    )
+    if batch_stats:
+        (_, h), upd = out
+        return h, upd["batch_stats"]
+    return out[1], {}
+
+
+def make_gnn_train_step(model, optimizer, lamb: float = 1.0):
+    """Full-batch GNN step: NLL on idx_train, Adam update."""
+
+    @jax.jit
+    def step(state: TrainState, g, feats, labels, idx_train, rng):
+        def loss_fn(params):
+            h, new_bs = _split_apply(model, params, state.batch_stats, g,
+                                     feats, rng)
+            out = log_softmax(h)
+            loss = nll_loss(out[idx_train], labels[idx_train])
+            return loss * lamb, (loss, new_bs)
+
+        grads, (loss, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_bs,
+                             opt_state=opt_state), loss
+
+    return step
+
+
+def make_eval_fn(model):
+    """All-node log-probs in eval mode (no dropout, running stats)."""
+
+    @jax.jit
+    def evaluate(params, batch_stats, g, feats):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        h = model.apply(variables, g, feats, training=False)[1]
+        return log_softmax(h)
+
+    return evaluate
+
+
+def make_mlp_epoch_fn(model, optimizer, batch_size: int, criterion: str,
+                      lamb: float = 1.0):
+    """One jitted epoch of shuffled fixed-size minibatches over an MLP.
+
+    criterion: "nll" (int targets) or "kl" (teacher log-prob targets).
+    Returns (new_state, mean unscaled loss). Tail-drop semantics as in
+    the reference (see module docstring).
+    """
+    use_kl = criterion == "kl"
+
+    @jax.jit
+    def epoch(state: TrainState, feats, targets, rng):
+        n = feats.shape[0]
+        num_batches = max(1, n // batch_size)
+        eff_batch = batch_size if n >= batch_size else n
+        perm_rng, drop_rng = jax.random.split(rng)
+        idx = jax.random.permutation(perm_rng, n)[: num_batches * eff_batch]
+        idx = idx.reshape(num_batches, eff_batch)
+
+        def body(carry, batch_idx):
+            params, batch_stats, opt_state, step = carry
+            x = jnp.take(feats, batch_idx, axis=0)
+            y = jnp.take(targets, batch_idx, axis=0)
+            rng_b = jax.random.fold_in(drop_rng, step)
+
+            def loss_fn(p):
+                h, new_bs = _split_apply(model, p, batch_stats, None, x,
+                                         rng_b)
+                out = log_softmax(h)
+                loss = (kl_div_batchmean_log_target(out, y) if use_kl
+                        else nll_loss(out, y))
+                return loss * lamb, (loss, new_bs)
+
+            grads, (loss, new_bs) = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return (params, new_bs, opt_state, step + 1), loss
+
+        init = (state.params, state.batch_stats, state.opt_state, state.step)
+        (params, batch_stats, opt_state, step), losses = jax.lax.scan(
+            body, init, idx
+        )
+        new_state = state.replace(step=step, params=params,
+                                  batch_stats=batch_stats,
+                                  opt_state=opt_state)
+        return new_state, jnp.mean(losses)
+
+    return epoch
+
+
+def make_mlp_eval_fn(model):
+    @jax.jit
+    def evaluate(params, batch_stats, feats):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        h = model.apply(variables, None, feats, training=False)[1]
+        return log_softmax(h)
+
+    return evaluate
+
+
+# --------------------------------------------------------------------
+# Shared early-stop skeleton
+# --------------------------------------------------------------------
+
+class _BestTracker:
+    """score_val >= best refreshes the snapshot and resets patience."""
+
+    def __init__(self, state: TrainState):
+        self.best_epoch = 0
+        self.best_score_val = 0.0
+        self.count = 0
+        self.snap = state.snapshot()
+
+    def update(self, epoch: int, score_val: float, state: TrainState) -> None:
+        if score_val >= self.best_score_val:
+            self.best_epoch = epoch
+            self.best_score_val = score_val
+            self.snap = state.snapshot()
+            self.count = 0
+        else:
+            self.count += 1
+
+
+def _subset_metrics(out, labels, idx):
+    """(loss, score) of log-probs `out` restricted to idx (host floats)."""
+    sub = out[idx]
+    lab = labels[idx]
+    loss = float(nll_loss(sub, lab))
+    score = float(accuracy(sub, lab))
+    return loss, score
+
+
+# --------------------------------------------------------------------
+# Teacher runners
+# --------------------------------------------------------------------
+
+def run_transductive(conf, model, g, feats, labels, indices, optimizer,
+                     logger, loss_and_score):
+    """Teacher training, transductive. Returns (out, score_val, score_test)
+    with `out` = all-node log-probs from the best checkpoint."""
+    idx_train, idx_val, idx_test = [jnp.asarray(i) for i in indices]
+    labels = jnp.asarray(labels)
+    feats = jnp.asarray(feats)
+
+    rng = jax.random.PRNGKey(conf["seed"])
+    init_rng, run_rng = jax.random.split(rng)
+    variables = model.init(init_rng, g, feats)
+
+    from glnn_tpu.train.state import create_train_state
+    state = create_train_state(variables, optimizer)
+
+    is_mlp = model.is_mlp
+    if is_mlp:
+        epoch_fn = make_mlp_epoch_fn(model, optimizer, conf["batch_size"],
+                                     "nll")
+        eval_fn = make_mlp_eval_fn(model)
+        feats_train = feats[idx_train]
+        labels_train = labels[idx_train]
+    else:
+        step_fn = make_gnn_train_step(model, optimizer)
+        eval_fn = make_eval_fn(model)
+
+    tracker = _BestTracker(state)
+    for epoch in range(1, conf["max_epoch"] + 1):
+        epoch_rng = jax.random.fold_in(run_rng, epoch)
+        if is_mlp:
+            state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
+        else:
+            state, loss = step_fn(state, g, feats, labels, idx_train,
+                                  epoch_rng)
+
+        if epoch % conf["eval_interval"] == 0:
+            if is_mlp:
+                out_train = eval_fn(state.params, state.batch_stats,
+                                    feats_train)
+                loss_train = float(nll_loss(out_train, labels_train))
+                score_train = float(accuracy(out_train, labels_train))
+                out = eval_fn(state.params, state.batch_stats, feats)
+                loss_val, score_val = _subset_metrics(out, labels, idx_val)
+                loss_test, score_test = _subset_metrics(out, labels, idx_test)
+            else:
+                out = eval_fn(state.params, state.batch_stats, g, feats)
+                loss_train, score_train = _subset_metrics(out, labels,
+                                                          idx_train)
+                loss_val, score_val = _subset_metrics(out, labels, idx_val)
+                loss_test, score_test = _subset_metrics(out, labels, idx_test)
+
+            logger.debug(
+                f"Ep {epoch:3d} | loss: {float(loss):.4f} | "
+                f"s_train: {score_train:.4f} | s_val: {score_val:.4f} | "
+                f"s_test: {score_test:.4f}"
+            )
+            loss_and_score.append([epoch, loss_train, loss_val, loss_test,
+                                   score_train, score_val, score_test])
+            tracker.update(epoch, score_val, state)
+
+        if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
+            break
+
+    state = state.restore(tracker.snap)
+    if is_mlp:
+        out = eval_fn(state.params, state.batch_stats, feats)
+    else:
+        out = eval_fn(state.params, state.batch_stats, g, feats)
+    _, score_val = _subset_metrics(out, labels, idx_val)
+    _, score_test = _subset_metrics(out, labels, idx_test)
+    logger.info(
+        f"Best valid model at epoch: {tracker.best_epoch: 3d}, "
+        f"score_val: {score_val:.4f}, score_test: {score_test:.4f}"
+    )
+    return np.asarray(out), score_val, score_test
+
+
+def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
+                  logger, loss_and_score):
+    """Teacher training, inductive. Trains on the observed subgraph only;
+    final soft labels merge obs-graph predictions over the full-graph
+    tensor (`out[idx_obs] = obs_out`, train_and_eval.py:508).
+
+    Returns (out, score_val, score_test_tran, score_test_ind)."""
+    obs_idx_train, obs_idx_val, obs_idx_test, idx_obs, idx_test_ind = [
+        jnp.asarray(i) for i in indices
+    ]
+    labels = jnp.asarray(labels)
+    feats = jnp.asarray(feats)
+    obs_feats = feats[idx_obs]
+    obs_labels = labels[idx_obs]
+
+    rng = jax.random.PRNGKey(conf["seed"])
+    init_rng, run_rng = jax.random.split(rng)
+    variables = model.init(init_rng, obs_g, obs_feats)
+
+    from glnn_tpu.train.state import create_train_state
+    state = create_train_state(variables, optimizer)
+
+    is_mlp = model.is_mlp
+    if is_mlp:
+        epoch_fn = make_mlp_epoch_fn(model, optimizer, conf["batch_size"],
+                                     "nll")
+        eval_fn = make_mlp_eval_fn(model)
+        feats_train = obs_feats[obs_idx_train]
+        labels_train = obs_labels[obs_idx_train]
+    else:
+        step_fn = make_gnn_train_step(model, optimizer)
+        eval_fn = make_eval_fn(model)
+
+    tracker = _BestTracker(state)
+    for epoch in range(1, conf["max_epoch"] + 1):
+        epoch_rng = jax.random.fold_in(run_rng, epoch)
+        if is_mlp:
+            state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
+        else:
+            state, loss = step_fn(state, obs_g, obs_feats, obs_labels,
+                                  obs_idx_train, epoch_rng)
+
+        if epoch % conf["eval_interval"] == 0:
+            if is_mlp:
+                out_all = eval_fn(state.params, state.batch_stats, feats)
+                obs_out = out_all[idx_obs]
+            else:
+                obs_out = eval_fn(state.params, state.batch_stats, obs_g,
+                                  obs_feats)
+                out_all = eval_fn(state.params, state.batch_stats, g, feats)
+            loss_train, score_train = _subset_metrics(obs_out, obs_labels,
+                                                      obs_idx_train)
+            loss_val, score_val = _subset_metrics(obs_out, obs_labels,
+                                                  obs_idx_val)
+            loss_tt, score_test_tran = _subset_metrics(obs_out, obs_labels,
+                                                       obs_idx_test)
+            loss_ti, score_test_ind = _subset_metrics(out_all, labels,
+                                                      idx_test_ind)
+            logger.debug(
+                f"Ep {epoch:3d} | loss: {float(loss):.4f} | "
+                f"s_train: {score_train:.4f} | s_val: {score_val:.4f} | "
+                f"s_tt: {score_test_tran:.4f} | s_ti: {score_test_ind:.4f}"
+            )
+            loss_and_score.append([epoch, loss_train, loss_val, loss_tt,
+                                   loss_ti, score_train, score_val,
+                                   score_test_tran, score_test_ind])
+            tracker.update(epoch, score_val, state)
+
+        if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
+            break
+
+    state = state.restore(tracker.snap)
+    if is_mlp:
+        out_all = eval_fn(state.params, state.batch_stats, feats)
+        obs_out = out_all[idx_obs]
+    else:
+        obs_out = eval_fn(state.params, state.batch_stats, obs_g, obs_feats)
+        out_all = eval_fn(state.params, state.batch_stats, g, feats)
+    _, score_val = _subset_metrics(obs_out, obs_labels, obs_idx_val)
+    _, score_test_tran = _subset_metrics(obs_out, obs_labels, obs_idx_test)
+    _, score_test_ind = _subset_metrics(out_all, labels, idx_test_ind)
+
+    out = np.array(out_all)
+    out[np.asarray(idx_obs)] = np.asarray(obs_out)
+    logger.info(
+        f"Best valid model at epoch: {tracker.best_epoch:3d}, "
+        f"score_val: {score_val:.4f}, "
+        f"score_test_tran: {score_test_tran:.4f}, "
+        f"score_test_ind: {score_test_ind:.4f}"
+    )
+    return out, score_val, score_test_tran, score_test_ind
+
+
+# --------------------------------------------------------------------
+# Distillation runners (student = MLP, graph-free)
+# --------------------------------------------------------------------
+
+def distill_run_transductive(conf, model, feats, labels, out_t_all,
+                             distill_indices, optimizer, logger,
+                             loss_and_score):
+    """GLNN distillation, transductive. Two optimizer passes per epoch:
+    hard labels on idx_l scaled by lamb, then teacher log-probs on
+    idx_t scaled by 1-lamb (train_and_eval.py:559-566)."""
+    lamb = conf["lamb"]
+    idx_l, idx_t, idx_val, idx_test = [jnp.asarray(i) for i in
+                                       distill_indices]
+    feats = jnp.asarray(feats)
+    labels = jnp.asarray(labels)
+    out_t_all = jnp.asarray(out_t_all)
+
+    feats_l, labels_l = feats[idx_l], labels[idx_l]
+    feats_t, out_t = feats[idx_t], out_t_all[idx_t]
+
+    rng = jax.random.PRNGKey(conf["seed"])
+    init_rng, run_rng = jax.random.split(rng)
+    variables = model.init(init_rng, None, feats)
+
+    from glnn_tpu.train.state import create_train_state
+    state = create_train_state(variables, optimizer)
+
+    batch_size = conf["batch_size"]
+    hard_epoch = make_mlp_epoch_fn(model, optimizer, batch_size, "nll",
+                                   lamb=lamb)
+    soft_epoch = make_mlp_epoch_fn(model, optimizer, batch_size, "kl",
+                                   lamb=1.0 - lamb)
+    eval_fn = make_mlp_eval_fn(model)
+
+    tracker = _BestTracker(state)
+    for epoch in range(1, conf["max_epoch"] + 1):
+        rng_l = jax.random.fold_in(run_rng, 2 * epoch)
+        rng_t = jax.random.fold_in(run_rng, 2 * epoch + 1)
+        state, loss_l = hard_epoch(state, feats_l, labels_l, rng_l)
+        state, loss_t = soft_epoch(state, feats_t, out_t, rng_t)
+        loss = float(loss_l) + float(loss_t)
+
+        if epoch % conf["eval_interval"] == 0:
+            out = eval_fn(state.params, state.batch_stats, feats)
+            _, score_l = _subset_metrics(out, labels, idx_l)
+            loss_val, score_val = _subset_metrics(out, labels, idx_val)
+            loss_test, score_test = _subset_metrics(out, labels, idx_test)
+            logger.debug(
+                f"Ep {epoch:3d} | loss: {loss:.4f} | s_l: {score_l:.4f} | "
+                f"s_val: {score_val:.4f} | s_test: {score_test:.4f}"
+            )
+            loss_and_score.append([epoch, float(loss_l), loss_val, loss_test,
+                                   score_l, score_val, score_test])
+            tracker.update(epoch, score_val, state)
+
+        if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
+            break
+
+    state = state.restore(tracker.snap)
+    out = eval_fn(state.params, state.batch_stats, feats)
+    _, score_val = _subset_metrics(out, labels, idx_val)
+    _, score_test = _subset_metrics(out, labels, idx_test)
+    logger.info(
+        f"Best valid model at epoch: {tracker.best_epoch: 3d}, "
+        f"score_val: {score_val:.4f}, score_test: {score_test:.4f}"
+    )
+    return np.asarray(out), score_val, score_test
+
+
+def distill_run_inductive(conf, model, feats, labels, out_t_all,
+                          distill_indices, optimizer, logger,
+                          loss_and_score):
+    """GLNN distillation, inductive: soft-label set is the OBSERVED
+    train+val+test only; final out merges obs predictions
+    (train_and_eval.py:737). Returns
+    (out, score_val, score_test_tran, score_test_ind)."""
+    lamb = conf["lamb"]
+    (obs_idx_l, obs_idx_t, obs_idx_val, obs_idx_test, idx_obs,
+     idx_test_ind) = [jnp.asarray(i) for i in distill_indices]
+    feats = jnp.asarray(feats)
+    labels = jnp.asarray(labels)
+    out_t_all = jnp.asarray(out_t_all)
+
+    obs_feats = feats[idx_obs]
+    obs_labels = labels[idx_obs]
+    obs_out_t = out_t_all[idx_obs]
+
+    feats_l, labels_l = obs_feats[obs_idx_l], obs_labels[obs_idx_l]
+    feats_t, out_t = obs_feats[obs_idx_t], obs_out_t[obs_idx_t]
+
+    rng = jax.random.PRNGKey(conf["seed"])
+    init_rng, run_rng = jax.random.split(rng)
+    variables = model.init(init_rng, None, feats)
+
+    from glnn_tpu.train.state import create_train_state
+    state = create_train_state(variables, optimizer)
+
+    batch_size = conf["batch_size"]
+    hard_epoch = make_mlp_epoch_fn(model, optimizer, batch_size, "nll",
+                                   lamb=lamb)
+    soft_epoch = make_mlp_epoch_fn(model, optimizer, batch_size, "kl",
+                                   lamb=1.0 - lamb)
+    eval_fn = make_mlp_eval_fn(model)
+
+    tracker = _BestTracker(state)
+    for epoch in range(1, conf["max_epoch"] + 1):
+        rng_l = jax.random.fold_in(run_rng, 2 * epoch)
+        rng_t = jax.random.fold_in(run_rng, 2 * epoch + 1)
+        state, loss_l = hard_epoch(state, feats_l, labels_l, rng_l)
+        state, loss_t = soft_epoch(state, feats_t, out_t, rng_t)
+        loss = float(loss_l) + float(loss_t)
+
+        if epoch % conf["eval_interval"] == 0:
+            out_all = eval_fn(state.params, state.batch_stats, feats)
+            obs_out = out_all[idx_obs]
+            _, score_l = _subset_metrics(obs_out, obs_labels, obs_idx_l)
+            loss_val, score_val = _subset_metrics(obs_out, obs_labels,
+                                                  obs_idx_val)
+            _, score_test_tran = _subset_metrics(obs_out, obs_labels,
+                                                 obs_idx_test)
+            _, score_test_ind = _subset_metrics(out_all, labels,
+                                                idx_test_ind)
+            logger.debug(
+                f"Ep {epoch:3d} | l: {loss:.4f} | s_l: {score_l:.4f} | "
+                f"s_val: {score_val:.4f} | s_tt: {score_test_tran:.4f} | "
+                f"s_ti: {score_test_ind:.4f}"
+            )
+            loss_and_score.append([epoch, float(loss_l), loss_val,
+                                   score_l, score_val, score_test_tran,
+                                   score_test_ind])
+            tracker.update(epoch, score_val, state)
+
+        if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
+            break
+
+    state = state.restore(tracker.snap)
+    out_all = eval_fn(state.params, state.batch_stats, feats)
+    obs_out = out_all[idx_obs]
+    _, score_val = _subset_metrics(obs_out, obs_labels, obs_idx_val)
+    _, score_test_tran = _subset_metrics(obs_out, obs_labels, obs_idx_test)
+    _, score_test_ind = _subset_metrics(out_all, labels, idx_test_ind)
+
+    out = np.array(out_all)
+    out[np.asarray(idx_obs)] = np.asarray(obs_out)
+    logger.info(
+        f"Best valid model at epoch: {tracker.best_epoch: 3d} "
+        f"score_val: {score_val:.4f}, "
+        f"score_test_tran: {score_test_tran:.4f}, "
+        f"score_test_ind: {score_test_ind:.4f}"
+    )
+    return out, score_val, score_test_tran, score_test_ind

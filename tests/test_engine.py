@@ -1,0 +1,155 @@
+"""Training-engine behavior: accuracy end-to-end + reference quirks."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from glnn_tpu.nn.models import Model
+from glnn_tpu.train import (
+    distill_run_transductive,
+    make_adam,
+    run_inductive,
+    run_transductive,
+)
+from glnn_tpu.utils.splits import graph_split
+
+logger = logging.getLogger("test")
+
+
+def _conf(**kw):
+    base = dict(num_layers=2, hidden_dim=32, label_dim=5, dropout_ratio=0.3,
+                norm_type="none", seed=0, batch_size=256, max_epoch=60,
+                patience=20, eval_interval=1)
+    base.update(kw)
+    return base
+
+
+@pytest.fixture(scope="module")
+def teacher_run(synth_small):
+    g, labels, itr, iva, ite = synth_small
+    conf = _conf(model_name="GCN", dropout_ratio=0.5)
+    model = Model(dict(conf, feat_dim=g.ndata["feat"].shape[1]))
+    out, sv, st = run_transductive(
+        conf, model, g.to_device(), g.ndata["feat"], labels,
+        (itr, iva, ite), make_adam(0.01, 0.0005), logger, [],
+    )
+    return out, sv, st
+
+
+def test_gcn_teacher_learns(teacher_run, synth_small):
+    _, sv, st = teacher_run
+    assert st > 0.9, f"GCN teacher failed to learn: test={st}"
+
+
+def test_teacher_out_is_log_probs(teacher_run):
+    out, _, _ = teacher_run
+    np.testing.assert_allclose(np.exp(out).sum(1), 1.0, rtol=1e-4)
+
+
+def test_glnn_student_beats_plain_mlp(teacher_run, synth_small):
+    g, labels, itr, iva, ite = synth_small
+    out_t, _, _ = teacher_run
+    feats = g.ndata["feat"]
+
+    mlp_conf = _conf(model_name="MLP", dropout_ratio=0.1, hidden_dim=64)
+    plain = Model(mlp_conf)
+    _, _, mlp_test = run_transductive(
+        mlp_conf, plain, g.to_device(), feats, labels, (itr, iva, ite),
+        make_adam(0.01, 0.002), logger, [],
+    )
+
+    st_conf = _conf(model_name="MLP", dropout_ratio=0.1, hidden_dim=64,
+                    lamb=0.0)
+    student = Model(st_conf)
+    idx_t = np.concatenate([itr, iva, ite])
+    _, _, glnn_test = distill_run_transductive(
+        st_conf, student, feats, labels, out_t, (itr, idx_t, iva, ite),
+        make_adam(0.01, 0.002), logger, [],
+    )
+    assert glnn_test > mlp_test + 0.1, (
+        f"distillation gave no lift: glnn={glnn_test} mlp={mlp_test}"
+    )
+
+
+def test_inductive_runner_merges_obs_out(synth_small):
+    g, labels, itr, iva, ite = synth_small
+    indices = graph_split(itr, iva, ite, rate=0.2, seed=0)
+    conf = _conf(model_name="GCN", dropout_ratio=0.5, max_epoch=30,
+                 patience=10)
+    model = Model(conf)
+    obs_g = g.subgraph(indices[3])
+    out, sv, stt, sti = run_inductive(
+        conf, model, g.to_device(), obs_g.to_device(), g.ndata["feat"],
+        labels, indices, make_adam(0.01, 0.0005), logger, [],
+    )
+    assert out.shape == (g.num_nodes(), 5)
+    assert stt > 0.8
+    # log-probs everywhere (merged rows included)
+    np.testing.assert_allclose(np.exp(out).sum(1), 1.0, rtol=1e-4)
+
+
+def test_best_tracker_semantics():
+    """score_val >= best refreshes snapshot + resets patience (ties
+    included); worse scores increment the counter."""
+    from glnn_tpu.train.engine import _BestTracker
+
+    class FakeState:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def snapshot(self):
+            return self.tag
+
+    t = _BestTracker(FakeState("init"))
+    t.update(1, 0.5, FakeState("a"))
+    assert t.count == 0 and t.snap == "a"
+    t.update(2, 0.4, FakeState("b"))
+    assert t.count == 1 and t.snap == "a"      # worse: no snapshot
+    t.update(3, 0.5, FakeState("c"))
+    assert t.count == 0 and t.snap == "c"      # tie: snapshot refreshed
+    t.update(4, 0.3, FakeState("d"))
+    t.update(5, 0.3, FakeState("e"))
+    assert t.count == 2 and t.best_epoch == 3
+
+
+def test_mlp_epoch_tail_dropping():
+    """num_batches = max(1, N // B) with the remainder dropped."""
+    import jax
+
+    from glnn_tpu.train import create_train_state, make_mlp_epoch_fn
+
+    conf = dict(model_name="MLP", num_layers=1, hidden_dim=8, label_dim=3,
+                dropout_ratio=0.0, norm_type="none")
+    model = Model(conf)
+    feats = np.random.RandomState(0).randn(70, 6).astype(np.float32)
+    labels = np.random.RandomState(1).randint(0, 3, 70)
+    opt = make_adam(0.01, 0.0)
+    variables = model.init(jax.random.PRNGKey(0), None, feats)
+    state = create_train_state(variables, opt)
+    epoch_fn = make_mlp_epoch_fn(model, opt, batch_size=32, criterion="nll")
+    state2, loss = epoch_fn(state, feats, labels, jax.random.PRNGKey(2))
+    # 70 // 32 = 2 batches of 32; 6 samples dropped; 2 optimizer steps
+    assert int(state2.step) - int(state.step) == 2
+
+
+def test_lamb_zero_still_advances_adam_state(synth_small):
+    """With lamb=0 the hard pass has zero gradients but the optimizer
+    still runs (Adam moments + weight decay advance) — preserved quirk."""
+    import jax
+
+    from glnn_tpu.train import create_train_state, make_mlp_epoch_fn
+
+    conf = dict(model_name="MLP", num_layers=1, hidden_dim=8, label_dim=3,
+                dropout_ratio=0.0, norm_type="none")
+    model = Model(conf)
+    feats = np.random.RandomState(0).randn(32, 6).astype(np.float32)
+    labels = np.random.RandomState(1).randint(0, 3, 32)
+    opt = make_adam(0.01, 0.1)  # nonzero weight decay
+    variables = model.init(jax.random.PRNGKey(0), None, feats)
+    state = create_train_state(variables, opt)
+    epoch_fn = make_mlp_epoch_fn(model, opt, 32, "nll", lamb=0.0)
+    state2, _ = epoch_fn(state, feats, labels, jax.random.PRNGKey(2))
+    w0 = np.asarray(state.params["Dense_0"]["kernel"])
+    w1 = np.asarray(state2.params["Dense_0"]["kernel"])
+    assert not np.allclose(w0, w1), "weight decay should still move params"
