@@ -74,26 +74,32 @@ def main():
     from glnn_tpu.graph.container import build_graph
     from glnn_tpu.ops import refops
 
+    from glnn_tpu import ops
+
     rs = np.random.RandomState(0)
     e = N * AVG_DEG
     src = rs.randint(0, N, e).astype(np.int64)
     dst = rs.randint(0, N, e).astype(np.int64)
-    g = build_graph(src, dst, N)
+    g = build_graph(src, dst, N).with_plans()
     x = jnp.asarray(rs.randn(N, F).astype(np.float32))
 
     # chain-of-k timing subtracts the per-call RPC floor exactly
-    def chain(k):
+    def chain(op, k):
         @jax.jit
         def f(graph, xx):
             h = xx
             for _ in range(k):
-                h = refops.copy_u_sum(graph, h) * 1e-3
+                h = op(graph, h) * 1e-3
             return h.sum()
         return f
 
-    t1 = time_scalar(chain(1), g, x, iters=4)
-    t8 = time_scalar(chain(8), g, x, iters=4)
-    dt = max((t8 - t1) / 7, 1e-9)
+    def spmm_time(op):
+        t1 = time_scalar(chain(op, 1), g, x, iters=4)
+        t8 = time_scalar(chain(op, 8), g, x, iters=4)
+        return max((t8 - t1) / 7, 1e-9)
+
+    dt = spmm_time(ops.copy_u_sum)          # pallas on TPU, xla on CPU
+    dt_xla = spmm_time(refops.copy_u_sum)
     edges_per_s = e / dt
 
     bw = detect_bw()
@@ -140,12 +146,15 @@ def main():
         "extras": {
             "graph": f"synthetic arxiv-scale N={N} E={e} F={F}",
             "spmm_ms": round(dt * 1e3, 3),
+            "spmm_xla_ms": round(dt_xla * 1e3, 3),
+            "speedup_vs_xla": round(dt_xla / dt, 2),
             "roofline_edges_per_s": round(roofline, 1),
             "gcn3_teacher_step_ms": round(gcn_step_s * 1e3, 3),
             "mlp3w4_student_epoch_ms": round(mlp_epoch_s * 1e3, 3),
             "rpc_floor_ms": round(rpc * 1e3, 3),
             "device": jax.devices()[0].device_kind,
-            "ops_backend": "xla",
+            "ops_backend": ("pallas" if jax.default_backend() == "tpu"
+                            else "xla"),
         },
     }))
 

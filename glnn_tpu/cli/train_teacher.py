@@ -85,7 +85,8 @@ def run(args):
     optimizer = make_adam(conf["learning_rate"], conf["weight_decay"])
 
     loss_and_score = []
-    G = g.to_device()
+    # GNN teachers get the Pallas SpMM plan; MLP never touches the graph
+    G = g.to_device(build_plans=not model.is_mlp)
     if args.exp_setting == "tran":
         indices = (idx_train, idx_val, idx_test)
         if args.feature_aug_k > 0:
@@ -99,7 +100,7 @@ def run(args):
         indices = graph_split(idx_train, idx_val, idx_test, args.split_rate,
                               args.seed)
         obs_g = g.subgraph(indices[3])
-        obs_G = obs_g.to_device()
+        obs_G = obs_g.to_device(build_plans=not model.is_mlp)
         if args.feature_aug_k > 0:
             idx_obs = indices[3]
             obs_feats = np.asarray(

@@ -28,7 +28,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["senders", "receivers", "indptr", "edge_weight",
-                 "in_degrees", "out_degrees"],
+                 "in_degrees", "out_degrees", "plans"],
     meta_fields=["n_nodes", "n_edges"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +57,15 @@ class Graph:
     out_degrees: jax.Array
     n_nodes: int
     n_edges: int
+    # optional (forward, backward) SpmmPlan pair for the Pallas kernel
+    # tier (ops/spmm_plan.py); None keeps the pure-XLA path.
+    plans: tuple | None = None
+
+    def with_plans(self, tile: int = 1024, block_rows: int = 256) -> "Graph":
+        from glnn_tpu.ops.spmm_plan import plan_for_graph
+
+        return dataclasses.replace(self, plans=plan_for_graph(
+            self, tile=tile, block_rows=block_rows))
 
     @property
     def num_nodes(self) -> int:

@@ -122,11 +122,15 @@ class HostGraph:
         )
 
     # -- device handoff ----------------------------------------------
-    def to_device(self, pad_to: int | None = None) -> Graph:
+    def to_device(self, pad_to: int | None = None,
+                  build_plans: bool = False) -> Graph:
         if self._device_graph is None or pad_to is not None:
-            self._device_graph = build_graph(
-                self.src, self.dst, self.n_nodes, pad_to=pad_to
-            )
+            g = build_graph(self.src, self.dst, self.n_nodes, pad_to=pad_to)
+            if build_plans:
+                g = g.with_plans()
+            self._device_graph = g
+        elif build_plans and self._device_graph.plans is None:
+            self._device_graph = self._device_graph.with_plans()
         return self._device_graph
 
 

@@ -1,0 +1,172 @@
+"""Pallas TPU SpMM: segmented reduction as one-hot matmuls on the MXU.
+
+Computes H = A @ M for the dst-sorted edge list described by an
+`SpmmPlan` (ops/spmm_plan.py). Per grid step (f_block j, edge tile t):
+
+    one_hot[d, s] = (rec_local[t, s] == d)            # built in VMEM
+    out[block_id[t]] (+)= one_hot @ M_tile            # MXU matmul
+
+Why this shape: TPU has no fast scatter; XLA's sorted segment-sum runs
+at ~107 GB/s on v5e (measured) while the MXU can absorb the reduction
+at memory speed. Padding slots carry rec_local == block_rows, matching
+no one-hot row, so they contribute exact zeros.
+
+The public ops (`copy_u_sum` / `u_mul_e_sum`) gather messages with one
+XLA `jnp.take` (the gather runs at ~343 GB/s effective; a fully fused
+in-kernel gather is a later tier) and run the reduction here. Both are
+linear, so the custom VJP reuses the kernel on the transposed plan:
+dX = A^T dH.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from glnn_tpu.graph.container import Graph
+from glnn_tpu.ops.spmm_plan import SpmmPlan
+
+F_BLOCK = 512
+
+
+def _kernel(block_id_ref, rec_local_ref, m_ref, out_ref):
+    t = pl.program_id(1)
+    is_first = jnp.logical_or(
+        t == 0, block_id_ref[t] != block_id_ref[jnp.maximum(t - 1, 0)]
+    )
+
+    d = out_ref.shape[0]
+    fb = out_ref.shape[1]
+    # rec_local block: (1, R, 128); slot s of the edge tile lives at
+    # (s // 128, s % 128). One partial matmul per 128-slot row keeps
+    # every operand in a native (sublane, lane) layout — no reshapes.
+    # The one-hot is exact in bf16, so with bf16 messages the MXU
+    # accumulates exact f32 sums of bf16-rounded inputs.
+    r_rows = rec_local_ref.shape[1]
+    mdt = m_ref.dtype
+    contrib = jnp.zeros((d, fb), jnp.float32)
+    for r in range(r_rows):
+        rec_r = rec_local_ref[0, r, :]             # [128]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 0)
+        one_hot = (row_ids == rec_r[None, :]).astype(mdt)
+        contrib += jnp.dot(one_hot, m_ref[r * 128 : (r + 1) * 128, :],
+                           preferred_element_type=jnp.float32)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:, :] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:, :] = out_ref[:, :] + contrib
+
+
+def segment_reduce(plan: SpmmPlan, messages: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """messages: [num_tiles*tile, F] planned message rows ->
+    [num_blocks*block_rows, F] block-padded output."""
+    t_sz, d = plan.tile, plan.block_rows
+    f = messages.shape[1]
+    f_pad = -(-f // 128) * 128
+    if f_pad != f:
+        messages = jnp.pad(messages, ((0, 0), (0, f_pad - f)))
+    fb = min(F_BLOCK, f_pad)
+    n_fb = f_pad // fb
+
+    r_rows = t_sz // 128
+    rec_local = plan.rec_local.reshape(plan.num_tiles, r_rows, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                     # block_id
+        grid=(n_fb, plan.num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, r_rows, 128), lambda j, t, bid: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_sz, fb), lambda j, t, bid: (t, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, fb), lambda j, t, bid: (bid[t], j),
+                               memory_space=pltpu.VMEM),
+    )
+    flops = 2 * plan.num_tiles * d * t_sz * f_pad
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_blocks * d, f_pad),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(messages.size * 4 + plan.num_blocks * d * f_pad * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plan.block_id, rec_local, messages)
+    return out[:, :f] if f_pad != f else out
+
+
+def _ghost_extend(x: jax.Array) -> jax.Array:
+    return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+
+
+_MESSAGE_DTYPE = jnp.bfloat16  # halves the dominant HBM traffic
+                               # (gather-materialize of E x F messages);
+                               # f32 output accumulation stays exact.
+
+
+def _gather_messages(plan: SpmmPlan, x: jax.Array) -> jax.Array:
+    # cast BEFORE the gather: the random-read side of the gather then
+    # moves bf16 rows (half the HBM traffic); XLA materializes the
+    # bf16 copy once with a cheap sequential pass.
+    if x.dtype == jnp.float32:
+        x = x.astype(_MESSAGE_DTYPE)
+    return jnp.take(_ghost_extend(x), plan.src_idx, axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spmm(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan, x: jax.Array,
+          n_nodes: int) -> jax.Array:
+    out = segment_reduce(plan_fwd, _gather_messages(plan_fwd, x))[:n_nodes]
+    return out.astype(x.dtype)
+
+
+def _spmm_fwd(plan_fwd, plan_bwd, x, n_nodes):
+    return _spmm(plan_fwd, plan_bwd, x, n_nodes), (plan_fwd, plan_bwd)
+
+
+def _spmm_bwd(n_nodes, res, dh):
+    plan_fwd, plan_bwd = res
+    # dh dtype == primal output dtype == x dtype (cast in _spmm)
+    dx = segment_reduce(plan_bwd, _gather_messages(plan_bwd, dh))[:n_nodes]
+    return None, None, dx.astype(dh.dtype)
+
+
+_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def supported(g: Graph, x: jax.Array) -> bool:
+    """Kernel path needs plans attached to the graph (built at ingest
+    via to_device(build_plans=True)) and a rank-2 feature matrix."""
+    return g.plans is not None and x.ndim == 2
+
+
+def copy_u_sum(g: Graph, x: jax.Array) -> jax.Array:
+    """Pallas-tier H[v] = sum over in-neighbors of x (differentiable)."""
+    plan_fwd, plan_bwd = g.plans
+    return _spmm(plan_fwd, plan_bwd, x, g.n_nodes)
+
+
+def u_mul_e_sum(g: Graph, x: jax.Array, e: jax.Array) -> jax.Array:
+    """Weighted SpMM. e: [e_pad] per-edge weights in the container's
+    dst-sorted order (padding entries ignored). NOTE: not yet routed
+    through a weighted custom VJP — used in inference paths; training
+    paths keep the XLA tier for weighted aggregation for now."""
+    plan_fwd, _ = g.plans
+    e_ext = jnp.concatenate([e[: plan_fwd.e_orig], jnp.zeros((1,), e.dtype)])
+    w = jnp.take(e_ext, plan_fwd.edge_perm)        # [slots]
+    m = jnp.take(_ghost_extend(x), plan_fwd.src_idx, axis=0) * w[:, None]
+    if x.dtype == jnp.float32:
+        m = m.astype(_MESSAGE_DTYPE)
+    return segment_reduce(plan_fwd, m)[: g.n_nodes].astype(x.dtype)

@@ -1,0 +1,141 @@
+"""Pallas SpMM kernel + plan parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glnn_tpu.graph.container import build_graph
+from glnn_tpu.ops import refops
+from glnn_tpu.ops import spmm_pallas as sp
+from glnn_tpu.ops.spmm_plan import build_spmm_plan, plan_for_graph
+
+
+def _graph(n=300, e=2500, seed=0, **kw):
+    rs = np.random.RandomState(seed)
+    return build_graph(rs.randint(0, n, e), rs.randint(0, n, e), n, **kw)
+
+
+def _pallas_sum(g, x):
+    pf, _ = g.plans
+    m = sp._gather_messages(pf, x)
+    return sp.segment_reduce(pf, m, interpret=True)[: g.n_nodes]
+
+
+def test_plan_invariants():
+    g = _graph()
+    pf, pb = plan_for_graph(g)
+    assert pf.num_blocks == -(-g.n_nodes // pf.block_rows)
+    # block ids nondecreasing (drives output revisiting)
+    bid = np.asarray(pf.block_id)
+    assert (np.diff(bid) >= 0).all()
+    # every real edge appears exactly once
+    perm = np.asarray(pf.edge_perm)
+    real = perm[perm < g.n_edges]
+    assert len(real) == g.n_edges
+    assert len(np.unique(real)) == g.n_edges
+    # rec_local within window; padding = block_rows
+    rl = np.asarray(pf.rec_local).reshape(-1)
+    src = np.asarray(pf.src_idx)
+    assert ((rl < pf.block_rows) == (src < g.n_nodes)).all()
+    # backward plan covers edges once too
+    permb = np.asarray(pb.edge_perm)
+    realb = permb[permb < g.n_edges]
+    assert len(np.unique(realb)) == g.n_edges
+
+
+def test_forward_matches_refops():
+    g = _graph().with_plans()
+    x = jnp.asarray(np.random.RandomState(1).randn(g.n_nodes, 64)
+                    .astype(np.float32))
+    h_ref = refops.copy_u_sum(g, x)
+    h_pal = _pallas_sum(g, x)
+    # bf16 message rounding: tolerance scaled to magnitudes
+    np.testing.assert_allclose(h_pal, h_ref, rtol=2e-2, atol=5e-2)
+
+
+def test_forward_nodes_not_multiple_of_block():
+    g = _graph(n=257, e=1000).with_plans()   # 257 = 2 blocks, ragged
+    x = jnp.asarray(np.random.RandomState(2).randn(257, 32)
+                    .astype(np.float32))
+    np.testing.assert_allclose(_pallas_sum(g, x), refops.copy_u_sum(g, x),
+                               rtol=2e-2, atol=5e-2)
+
+
+def test_forward_feature_dim_not_multiple_of_128():
+    g = _graph(n=128, e=700).with_plans()
+    x = jnp.asarray(np.random.RandomState(3).randn(128, 100)
+                    .astype(np.float32))
+    np.testing.assert_allclose(_pallas_sum(g, x), refops.copy_u_sum(g, x),
+                               rtol=2e-2, atol=5e-2)
+
+
+def test_empty_blocks_zero_initialized():
+    # all edges target the first 10 nodes -> later blocks are empty
+    rs = np.random.RandomState(4)
+    g = build_graph(rs.randint(0, 600, 900), rs.randint(0, 10, 900),
+                    600).with_plans()
+    x = jnp.asarray(rs.randn(600, 32).astype(np.float32))
+    h = np.asarray(_pallas_sum(g, x))
+    assert np.abs(h[10:]).max() == 0.0
+
+
+def test_weighted_matches_refops():
+    g = _graph().with_plans()
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(g.n_nodes, 32).astype(np.float32))
+    w = jnp.asarray(rs.rand(g.e_pad).astype(np.float32))
+
+    import glnn_tpu.ops.spmm_pallas as mod
+    orig = mod.segment_reduce
+    mod.segment_reduce = lambda p, m, interpret=False: orig(p, m, True)
+    try:
+        h_pal = mod.u_mul_e_sum(g, x, w)
+    finally:
+        mod.segment_reduce = orig
+    np.testing.assert_allclose(h_pal, refops.u_mul_e_sum(g, x, w),
+                               rtol=2e-2, atol=5e-2)
+
+
+def test_gradient_matches_refops():
+    g = _graph(n=200, e=1200).with_plans()
+    x = jnp.asarray(np.random.RandomState(6).randn(200, 32)
+                    .astype(np.float32))
+    co = jnp.asarray(np.random.RandomState(7).randn(200, 32)
+                     .astype(np.float32))
+
+    import glnn_tpu.ops.spmm_pallas as mod
+    orig = mod.segment_reduce
+    mod.segment_reduce = lambda p, m, interpret=False: orig(p, m, True)
+    try:
+        g_pal = jax.grad(lambda z: (mod.copy_u_sum(g, z) * co).sum())(x)
+    finally:
+        mod.segment_reduce = orig
+    g_ref = jax.grad(lambda z: (refops.copy_u_sum(g, z) * co).sum())(x)
+    np.testing.assert_allclose(g_pal, g_ref, rtol=2e-2, atol=5e-2)
+
+
+def test_dispatcher_falls_back_on_cpu():
+    """On the CPU backend the dispatcher must keep the XLA tier even
+    when plans are attached (auto mode)."""
+    from glnn_tpu import ops
+
+    g = _graph().with_plans()
+    x = jnp.asarray(np.random.RandomState(8).randn(g.n_nodes, 16)
+                    .astype(np.float32))
+    h = ops.copy_u_sum(g, x)   # would crash if it tried real pallas on CPU
+    np.testing.assert_allclose(h, refops.copy_u_sum(g, x), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_within_tile_src_sort_preserves_result():
+    pf = build_spmm_plan(
+        np.sort(np.random.RandomState(9).randint(0, 100, 500)),
+        np.random.RandomState(10).randint(0, 100, 500), 100,
+        tile=128, block_rows=64,
+    )
+    src = np.asarray(pf.src_idx).reshape(pf.num_tiles, pf.tile)
+    # within each tile the (real) gather indices are nondecreasing
+    for t in range(pf.num_tiles):
+        real = src[t][src[t] < 100]
+        assert (np.diff(real) >= 0).all()
