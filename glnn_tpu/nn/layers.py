@@ -37,15 +37,30 @@ from glnn_tpu.ops import copy_u_sum, edge_softmax, gcn_norm_both, u_add_v, u_mul
 
 
 class SAGEConvGCN(nn.Module):
+    """SAGEConv('gcn'). `data` is either a full Graph or a sampled
+    block dict {nbr_local, valid, self_local} (glnn_tpu.sampling): on
+    blocks the divisor is (#sampled real neighbors + 1), matching DGL's
+    block in-degree semantics on MFGs."""
+
     out_dim: int
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array,
+    def __call__(self, data, x: jax.Array,
                  x_dst: Optional[jax.Array] = None) -> jax.Array:
-        if x_dst is None:
-            x_dst = x
-        neigh = copy_u_sum(g, x)
-        h = (neigh + x_dst) / (g.in_degrees[:, None] + 1.0)
+        if isinstance(data, Graph):
+            if x_dst is None:
+                x_dst = x
+            neigh = copy_u_sum(data, x)
+            h = (neigh + x_dst) / (data.in_degrees[:, None] + 1.0)
+        else:
+            nbr, valid, self_local = (data["nbr_local"], data["valid"],
+                                      data["self_local"])
+            gathered = jnp.take(x, nbr, axis=0)          # [V, K, F]
+            mask = valid[..., None].astype(x.dtype)
+            neigh = jnp.sum(gathered * mask, axis=1)
+            deg = jnp.sum(valid, axis=1).astype(x.dtype)
+            h_self = jnp.take(x, self_local, axis=0)
+            h = (neigh + h_self) / (deg[:, None] + 1.0)
         return nn.Dense(
             self.out_dim,
             kernel_init=gi.xavier_uniform(math.sqrt(2.0)),
@@ -127,12 +142,69 @@ def appnp_propagate(g: Graph, h: jax.Array, k: int, alpha: float,
     return h
 
 
+class BatchNorm1d(nn.Module):
+    """torch.nn.BatchNorm1d semantics: biased batch variance for
+    normalization, UNBIASED variance into the running average,
+    momentum 0.1 (new = 0.9*old + 0.1*batch). Optional row mask so
+    ghost-padded frontier rows (sampled SAGE path) don't pollute the
+    statistics."""
+
+    use_running_average: bool
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None
+                 ) -> jax.Array:
+        f = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((f,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                n = jnp.asarray(x.shape[0], x.dtype)
+                mean = jnp.mean(x, axis=0)
+                var = jnp.mean(jnp.square(x - mean), axis=0)
+            else:
+                w = mask.astype(x.dtype)[:, None]
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(x * w, axis=0) / n
+                var = jnp.sum(w * jnp.square(x - mean), axis=0) / n
+            unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
+class LayerNorm1d(nn.Module):
+    """torch.nn.LayerNorm over the feature axis (eps 1e-5)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None
+                 ) -> jax.Array:
+        f = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
 def make_norm(norm_type: str, training: bool):
-    """BatchNorm1d / LayerNorm with torch eps+momentum (1e-5, 0.1)."""
+    """BatchNorm1d / LayerNorm with torch eps+momentum (1e-5, 0.1).
+    Both returned modules accept an optional row mask."""
     if norm_type == "batch":
-        return nn.BatchNorm(
-            use_running_average=not training, momentum=0.9, epsilon=1e-5
-        )
+        return BatchNorm1d(use_running_average=not training)
     if norm_type == "layer":
-        return nn.LayerNorm(epsilon=1e-5)
+        return LayerNorm1d()
     raise ValueError(f"unknown norm_type {norm_type!r}")

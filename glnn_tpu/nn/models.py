@@ -67,6 +67,11 @@ class MLP(nn.Module):
 
 
 class SAGE(nn.Module):
+    """Accepts a full Graph (full-neighbor forward) OR SampledBlocks
+    from glnn_tpu.sampling (fanout-sampled minibatch forward, the
+    reference's train_sage path). Parameters are shared between the
+    two paths — the modules are created in the same order."""
+
     num_layers: int
     hidden_dim: int
     output_dim: int
@@ -74,16 +79,25 @@ class SAGE(nn.Module):
     norm_type: str = "none"
 
     @nn.compact
-    def __call__(self, g: Graph, x: jax.Array, training: bool = False):
+    def __call__(self, g, x: jax.Array, training: bool = False):
+        from glnn_tpu.sampling.sampler import SampledBlocks
+
+        blocks = isinstance(g, SampledBlocks)
         h = x
         h_list = []
         for l in range(self.num_layers):
             out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
-            h = SAGEConvGCN(out)(g, h)
+            if blocks:
+                data = {"nbr_local": g.nbr_local[l], "valid": g.valid[l],
+                        "self_local": g.self_local[l]}
+                mask = g.out_real[l]
+            else:
+                data, mask = g, None
+            h = SAGEConvGCN(out)(data, h)
             if l != self.num_layers - 1:
                 h_list.append(h)
                 if self.norm_type != "none":
-                    h = make_norm(self.norm_type, training)(h)
+                    h = make_norm(self.norm_type, training)(h, mask)
                 h = nn.relu(h)
                 h = nn.Dropout(self.dropout_ratio, deterministic=not training)(h)
         return h_list, h

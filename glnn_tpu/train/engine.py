@@ -167,6 +167,26 @@ def make_mlp_eval_fn(model):
     return evaluate
 
 
+def _fanouts(conf):
+    fan = conf.get("fan_out", "5,5")
+    if isinstance(fan, str):
+        fan = [int(x) for x in fan.split(",")]
+    fan = [int(x) for x in fan]
+    if len(fan) != conf["num_layers"]:
+        raise ValueError(
+            f"fan_out length {len(fan)} != num_layers {conf['num_layers']}")
+    return fan
+
+
+def _use_sampled_sage(conf, model) -> bool:
+    """SAGE teachers train on fanout-sampled minibatches by default
+    (the reference always does, train_and_eval.py:173-204); set
+    conf['sage_sampling']='full' for the full-batch variant."""
+    if model.is_mlp or "SAGE" not in model.model_name:
+        return False
+    return conf.get("sage_sampling", "auto") != "full"
+
+
 # --------------------------------------------------------------------
 # Shared early-stop skeleton
 # --------------------------------------------------------------------
@@ -219,12 +239,18 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
     state = create_train_state(variables, optimizer)
 
     is_mlp = model.is_mlp
+    sampled = _use_sampled_sage(conf, model)
     if is_mlp:
         epoch_fn = make_mlp_epoch_fn(model, optimizer, conf["batch_size"],
                                      "nll")
         eval_fn = make_mlp_eval_fn(model)
         feats_train = feats[idx_train]
         labels_train = labels[idx_train]
+    elif sampled:
+        from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
+        epoch_fn = make_sage_sampled_epoch_fn(
+            model, optimizer, conf["batch_size"], _fanouts(conf))
+        eval_fn = make_eval_fn(model)
     else:
         step_fn = make_gnn_train_step(model, optimizer)
         eval_fn = make_eval_fn(model)
@@ -234,6 +260,11 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         epoch_rng = jax.random.fold_in(run_rng, epoch)
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
+        elif sampled:
+            state, loss, overflow = epoch_fn(state, g, feats, labels,
+                                             idx_train, epoch_rng)
+            if bool(overflow):
+                logger.warning(f"Ep {epoch}: sampler frontier cap overflow")
         else:
             state, loss = step_fn(state, g, feats, labels, idx_train,
                                   epoch_rng)
@@ -303,12 +334,18 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
     state = create_train_state(variables, optimizer)
 
     is_mlp = model.is_mlp
+    sampled = _use_sampled_sage(conf, model)
     if is_mlp:
         epoch_fn = make_mlp_epoch_fn(model, optimizer, conf["batch_size"],
                                      "nll")
         eval_fn = make_mlp_eval_fn(model)
         feats_train = obs_feats[obs_idx_train]
         labels_train = obs_labels[obs_idx_train]
+    elif sampled:
+        from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
+        epoch_fn = make_sage_sampled_epoch_fn(
+            model, optimizer, conf["batch_size"], _fanouts(conf))
+        eval_fn = make_eval_fn(model)
     else:
         step_fn = make_gnn_train_step(model, optimizer)
         eval_fn = make_eval_fn(model)
@@ -318,6 +355,12 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         epoch_rng = jax.random.fold_in(run_rng, epoch)
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
+        elif sampled:
+            state, loss, overflow = epoch_fn(state, obs_g, obs_feats,
+                                             obs_labels, obs_idx_train,
+                                             epoch_rng)
+            if bool(overflow):
+                logger.warning(f"Ep {epoch}: sampler frontier cap overflow")
         else:
             state, loss = step_fn(state, obs_g, obs_feats, obs_labels,
                                   obs_idx_train, epoch_rng)

@@ -1,0 +1,146 @@
+"""On-device neighbor sampler + sampled SAGE parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glnn_tpu.graph.container import build_graph
+from glnn_tpu.nn.models import Model
+from glnn_tpu.sampling.sampler import frontier_caps, sample_blocks
+
+
+def _graph(n=120, e=800, seed=0):
+    rs = np.random.RandomState(seed)
+    return build_graph(rs.randint(0, n, e), rs.randint(0, n, e), n)
+
+
+def test_full_fanout_covers_all_neighbors():
+    g = _graph()
+    seeds = jnp.arange(16, dtype=jnp.int32)
+    max_deg = int(np.asarray(g.in_degrees).max())
+    blocks = sample_blocks(g, seeds, [max_deg], jax.random.PRNGKey(0))
+    # per seed: valid count == true in-degree, neighbors == true set
+    send = np.asarray(g.senders)
+    recv = np.asarray(g.receivers)
+    inp = np.asarray(blocks.input_nodes)
+    nbr = np.asarray(blocks.nbr_local[0])
+    val = np.asarray(blocks.valid[0])
+    for i, s in enumerate(np.asarray(seeds)):
+        true_nbrs = sorted(send[recv == s].tolist())
+        got = sorted(inp[nbr[i][val[i]]].tolist())
+        assert got == true_nbrs
+
+
+def test_sampled_forward_matches_full_when_fanout_full():
+    """With fanout >= max degree and eval mode, the block forward must
+    equal the full-graph forward restricted to the seeds."""
+    g = _graph()
+    x = jnp.asarray(np.random.RandomState(1).randn(120, 16)
+                    .astype(np.float32))
+    model = Model(dict(model_name="SAGE", num_layers=2, hidden_dim=32,
+                       label_dim=5, dropout_ratio=0.0, norm_type="none"))
+    v = model.init(jax.random.PRNGKey(0), g, x)
+    full = model.apply(v, g, x, training=False)[1]
+
+    seeds = jnp.asarray([3, 50, 77, 119], jnp.int32)
+    max_deg = int(np.asarray(g.in_degrees).max())
+    blocks = sample_blocks(g, seeds, [max_deg, max_deg],
+                           jax.random.PRNGKey(1))
+    x_in = jnp.take(
+        jnp.concatenate([x, jnp.zeros((1, 16))]), blocks.input_nodes, axis=0)
+    sampled = model.apply(v, blocks, x_in, training=False)[1]
+    np.testing.assert_allclose(sampled, full[np.asarray(seeds)], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sampled_fanout_limits_neighbors():
+    g = _graph()
+    seeds = jnp.arange(32, dtype=jnp.int32)
+    blocks = sample_blocks(g, seeds, [3], jax.random.PRNGKey(2))
+    val = np.asarray(blocks.valid[0])
+    deg = np.asarray(g.in_degrees)[np.asarray(seeds)]
+    assert (val.sum(1) == np.minimum(deg, 3)).all()
+    # sampled neighbors are genuine in-neighbors
+    send, recv = np.asarray(g.senders), np.asarray(g.receivers)
+    inp = np.asarray(blocks.input_nodes)
+    nbr = np.asarray(blocks.nbr_local[0])
+    for i, s in enumerate(np.asarray(seeds)):
+        true_nbrs = set(send[recv == s].tolist())
+        got = set(inp[nbr[i][val[i]]].tolist())
+        assert got <= true_nbrs
+
+
+def test_overflow_flag():
+    g = _graph()
+    seeds = jnp.arange(64, dtype=jnp.int32)
+    tight = [8, 64]                              # far below needed
+    blocks = sample_blocks(g, seeds, [5], jax.random.PRNGKey(3),
+                           caps=tight[:1])
+    assert bool(blocks.overflowed)
+
+
+def test_ghost_seed_padding():
+    g = _graph()
+    seeds = jnp.asarray([1, 2, g.n_nodes, g.n_nodes], jnp.int32)
+    blocks = sample_blocks(g, seeds, [4], jax.random.PRNGKey(4))
+    val = np.asarray(blocks.valid[0])
+    assert val[2:].sum() == 0                   # ghosts sample nothing
+    assert np.asarray(blocks.out_real[0]).tolist() == [True, True, False,
+                                                       False]
+
+
+def test_sampled_epoch_learns(synth_small):
+    from glnn_tpu.train import create_train_state, make_adam, make_eval_fn
+    from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
+    from glnn_tpu.train.losses import accuracy
+
+    g, labels, itr, iva, ite = synth_small
+    G = g.to_device()
+    feats = jnp.asarray(g.ndata["feat"])
+    labels_d = jnp.asarray(labels)
+    model = Model(dict(model_name="SAGE", num_layers=2, hidden_dim=32,
+                       label_dim=5, dropout_ratio=0.0, norm_type="batch"))
+    opt = make_adam(0.01, 0.0)
+    state = create_train_state(model.init(jax.random.PRNGKey(0), G, feats),
+                               opt)
+    epoch_fn = make_sage_sampled_epoch_fn(model, opt, batch_size=64,
+                                          fanouts=[5, 5])
+    idx = jnp.asarray(itr)
+    losses = []
+    for ep in range(15):
+        state, loss, ovf = epoch_fn(state, G, feats, labels_d, idx,
+                                    jax.random.PRNGKey(ep))
+        losses.append(float(loss))
+        assert not bool(ovf)
+    assert losses[-1] < losses[0] * 0.7
+
+    out = make_eval_fn(model)(state.params, state.batch_stats, G, feats)
+    acc = float(accuracy(out[np.asarray(ite)], labels_d[np.asarray(ite)]))
+    assert acc > 0.8, f"sampled SAGE failed to learn: {acc}"
+
+
+def test_masked_batchnorm_ignores_ghost_rows():
+    import flax.linen as nn
+
+    from glnn_tpu.nn.layers import BatchNorm1d
+
+    rs = np.random.RandomState(0)
+    x_real = rs.randn(20, 8).astype(np.float32)
+    garbage = 100.0 * np.ones((4, 8), np.float32)
+    x = jnp.asarray(np.vstack([x_real, garbage]))
+    mask = jnp.asarray([True] * 20 + [False] * 4)
+
+    bn = BatchNorm1d(use_running_average=False)
+    v = bn.init(jax.random.PRNGKey(0), x, mask)
+    y, newv = bn.apply(v, x, mask, mutable=["batch_stats"])
+
+    import torch
+    tb = torch.nn.BatchNorm1d(8)
+    ty = tb(torch.from_numpy(x_real))
+    np.testing.assert_allclose(np.asarray(y)[:20], ty.detach().numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(newv["batch_stats"]["mean"]),
+                               tb.running_mean.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(newv["batch_stats"]["var"]),
+                               tb.running_var.numpy(), rtol=1e-4, atol=1e-5)
