@@ -1,0 +1,235 @@
+"""Halo-exchange sharded SpMM over a device mesh.
+
+The graph analog of tensor/sequence parallelism (SURVEY.md §2.4): nodes
+are partitioned into P contiguous shards (row-sharded features), every
+edge is OWNED BY ITS DESTINATION's shard, and aggregation runs
+shard-locally after exchanging the boundary ("halo") source rows:
+
+    partial_local = segsum(x_local[local_src], local_dst)   # no comm
+    recv          = all_to_all(x_local[send_idx])           # ICI
+    partial_halo  = segsum(recv[halo_gather], halo_dst)
+    out_local     = partial_local + partial_halo
+
+`partial_local` is independent of the collective, so XLA overlaps the
+exchange with local compute. Because each destination's in-edges are
+all local to its owner, per-dst reductions (including GAT's
+edge-softmax, later) never cross shards.
+
+All index sets are precomputed on the host into equal-size per-shard
+arrays (ghost padding), stacked on a leading P axis and sharded with
+shard_map; the op is differentiable end-to-end (all_to_all and the
+segment ops have exact transposes), so a regular jitted training step
+can use it as an inner SPMD island.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["local_src", "local_dst", "halo_gather", "halo_dst",
+                 "send_idx", "in_degrees", "out_degrees"],
+    meta_fields=["n_nodes", "n_shards", "rows_per_shard", "e_local",
+                 "e_halo", "halo_rows", "axis", "mesh"],
+)
+@dataclasses.dataclass(frozen=True)
+class HaloGraph:
+    """Sharded graph: per-shard index arrays (leading axis = shard).
+
+    local_src:  int32[P, E_loc]  shard-local src row (ghost = rows).
+    local_dst:  int32[P, E_loc]  shard-local dst row (ghost = rows).
+    halo_gather:int32[P, E_halo] row into the flattened recv buffer
+                                 (ghost = P*H).
+    halo_dst:   int32[P, E_halo] shard-local dst row (ghost = rows).
+    send_idx:   int32[P, P, H]   rows of MY block to send to shard q
+                                 (ghost = rows -> zero row).
+    in_degrees / out_degrees: float32[n_pad] flat degree vectors, so
+                                 the flax layers' row-aligned math works
+                                 unchanged on sharded features.
+    """
+
+    local_src: jax.Array
+    local_dst: jax.Array
+    halo_gather: jax.Array
+    halo_dst: jax.Array
+    send_idx: jax.Array
+    in_degrees: jax.Array
+    out_degrees: jax.Array
+    n_nodes: int
+    n_shards: int
+    rows_per_shard: int
+    e_local: int
+    e_halo: int
+    halo_rows: int
+    axis: str
+    mesh: Mesh
+
+    # duck-typing the single-device Graph surface the layers touch
+    plans = None
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_shards * self.rows_per_shard
+
+
+def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
+                     mesh: Mesh, axis: str = "graph") -> HaloGraph:
+    n_shards = mesh.shape[axis]
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    rows = -(-n_nodes // n_shards)
+    shard_src = src // rows
+    shard_dst = dst // rows
+
+    is_local = shard_src == shard_dst
+
+    loc_counts, halo_counts = [], []
+    send_sets: list[list[np.ndarray]] = []
+    per_shard = []
+    for p_i in range(n_shards):
+        own = shard_dst == p_i
+        loc = own & is_local
+        hal = own & ~is_local
+        loc_counts.append(int(loc.sum()))
+        halo_counts.append(int(hal.sum()))
+        per_shard.append((loc, hal))
+    e_loc = max(max(loc_counts), 1)
+    e_hal = max(max(halo_counts), 1)
+
+    # send sets: rows shard q must send to shard p (unique, sorted)
+    send_rows = [[np.empty(0, np.int64)] * n_shards for _ in range(n_shards)]
+    for p_i in range(n_shards):
+        _, hal = per_shard[p_i]
+        hsrc = src[hal]
+        hq = shard_src[hal]
+        for q in range(n_shards):
+            if q == p_i:
+                continue
+            send_rows[q][p_i] = np.unique(hsrc[hq == q])
+    h_max = max(
+        max((len(send_rows[q][p_i]) for q in range(n_shards)), default=0)
+        for p_i in range(n_shards)
+    )
+    h_max = max(h_max, 1)
+
+    local_src = np.full((n_shards, e_loc), rows, np.int32)
+    local_dst = np.full((n_shards, e_loc), rows, np.int32)
+    halo_gather = np.full((n_shards, e_hal), n_shards * h_max, np.int32)
+    halo_dst = np.full((n_shards, e_hal), rows, np.int32)
+    send_idx = np.full((n_shards, n_shards, h_max), rows, np.int32)
+
+    for q in range(n_shards):
+        for p_i in range(n_shards):
+            rws = send_rows[q][p_i]
+            send_idx[q, p_i, : len(rws)] = rws - q * rows
+
+    for p_i in range(n_shards):
+        loc, hal = per_shard[p_i]
+        nl = loc.sum()
+        local_src[p_i, :nl] = src[loc] - p_i * rows
+        local_dst[p_i, :nl] = dst[loc] - p_i * rows
+        nh = hal.sum()
+        hsrc = src[hal]
+        hq = shard_src[hal]
+        # recv buffer layout on shard p: [q*H + pos] = send_rows[q][p][pos]
+        gidx = np.empty(nh, np.int64)
+        for q in range(n_shards):
+            m = hq == q
+            if not m.any():
+                continue
+            pos = np.searchsorted(send_rows[q][p_i], hsrc[m])
+            gidx[m] = q * h_max + pos
+        halo_gather[p_i, :nh] = gidx
+        halo_dst[p_i, :nh] = dst[hal] - p_i * rows
+
+    n_pad = n_shards * rows
+    ind = np.zeros(n_pad, np.float32)
+    outd = np.zeros(n_pad, np.float32)
+    np.add.at(ind, dst, 1.0)
+    np.add.at(outd, src, 1.0)
+
+    return HaloGraph(
+        local_src=jnp.asarray(local_src),
+        local_dst=jnp.asarray(local_dst),
+        halo_gather=jnp.asarray(halo_gather),
+        halo_dst=jnp.asarray(halo_dst),
+        send_idx=jnp.asarray(send_idx),
+        in_degrees=jnp.asarray(ind),
+        out_degrees=jnp.asarray(outd),
+        n_nodes=int(n_nodes),
+        n_shards=int(n_shards),
+        rows_per_shard=int(rows),
+        e_local=e_loc,
+        e_halo=e_hal,
+        halo_rows=h_max,
+        axis=axis,
+        mesh=mesh,
+    )
+
+
+def _shard_kernel(hg: HaloGraph):
+    rows = hg.rows_per_shard
+    ph = hg.n_shards * hg.halo_rows
+
+    def f(x_blk, lsrc, ldst, hgat, hdst, sidx):
+        x_blk = x_blk.reshape(rows, -1)
+        lsrc, ldst = lsrc[0], ldst[0]
+        hgat, hdst = hgat[0], hdst[0]
+        sidx = sidx[0]
+        fdim = x_blk.shape[1]
+        x_ext = jnp.concatenate([x_blk, jnp.zeros((1, fdim), x_blk.dtype)])
+
+        # local partial (independent of the collective -> overlap)
+        msgs_l = jnp.take(x_ext, lsrc, axis=0)
+        part_l = jax.ops.segment_sum(msgs_l, ldst, num_segments=rows + 1,
+                                     indices_are_sorted=False)[:rows]
+
+        # exchange halo rows
+        sbuf = jnp.take(x_ext, sidx.reshape(-1), axis=0).reshape(
+            hg.n_shards, hg.halo_rows, fdim)
+        recv = jax.lax.all_to_all(sbuf, hg.axis, split_axis=0,
+                                  concat_axis=0, tiled=True)
+        recv_flat = jnp.concatenate(
+            [recv.reshape(ph, fdim), jnp.zeros((1, fdim), x_blk.dtype)])
+
+        msgs_h = jnp.take(recv_flat, hgat, axis=0)
+        part_h = jax.ops.segment_sum(msgs_h, hdst, num_segments=rows + 1,
+                                     indices_are_sorted=False)[:rows]
+        return part_l + part_h
+
+    return f
+
+
+def halo_copy_u_sum(hg: HaloGraph, x: jax.Array) -> jax.Array:
+    """x: [n_pad, F] row-sharded over mesh axis -> same shape/sharding.
+    Rows >= n_nodes are ghosts and receive zero."""
+    ax = hg.axis
+    spec_rows = P(ax, None)
+    spec_shard = P(ax)
+    f = _shard_kernel(hg)
+    return shard_map(
+        f, mesh=hg.mesh,
+        in_specs=(spec_rows, spec_shard, spec_shard, spec_shard, spec_shard,
+                  spec_shard),
+        out_specs=spec_rows,
+    )(x, hg.local_src, hg.local_dst, hg.halo_gather, hg.halo_dst,
+      hg.send_idx)
+
+
+def shard_features(x: np.ndarray, hg: HaloGraph) -> jax.Array:
+    """Pad node-feature rows to n_pad and place row-sharded."""
+    n_pad = hg.n_pad
+    x = np.asarray(x)
+    if x.shape[0] < n_pad:
+        x = np.concatenate(
+            [x, np.zeros((n_pad - x.shape[0],) + x.shape[1:], x.dtype)])
+    return jax.device_put(x, NamedSharding(hg.mesh, P(hg.axis, None)))

@@ -47,7 +47,7 @@ class SAGEConvGCN(nn.Module):
     @nn.compact
     def __call__(self, data, x: jax.Array,
                  x_dst: Optional[jax.Array] = None) -> jax.Array:
-        if isinstance(data, Graph):
+        if not isinstance(data, dict):       # Graph or HaloGraph
             if x_dst is None:
                 x_dst = x
             neigh = copy_u_sum(data, x)

@@ -34,6 +34,12 @@ def get_backend() -> str:
     return _BACKEND
 
 
+def _is_halo(g) -> bool:
+    from glnn_tpu.distributed.halo import HaloGraph
+
+    return isinstance(g, HaloGraph)
+
+
 def _use_pallas(g, x) -> bool:
     if _BACKEND == "xla":
         return False
@@ -45,6 +51,10 @@ def _use_pallas(g, x) -> bool:
 
 
 def copy_u_sum(g, x):
+    if _is_halo(g):
+        from glnn_tpu.distributed.halo import halo_copy_u_sum
+
+        return halo_copy_u_sum(g, x)
     if _use_pallas(g, x):
         from glnn_tpu.ops import spmm_pallas
 

@@ -1,0 +1,127 @@
+"""Sharded execution: halo-exchange SpMM vs single-device oracle on an
+8-virtual-device CPU mesh (SURVEY.md §4 item 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glnn_tpu.distributed.halo import (
+    build_halo_graph,
+    halo_copy_u_sum,
+    shard_features,
+)
+from glnn_tpu.distributed.mesh import make_mesh
+from glnn_tpu.graph.container import build_graph
+from glnn_tpu.ops import refops
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, axis="graph")
+
+
+def _setup(mesh, n=203, e=1500, f=16, seed=0):
+    rs = np.random.RandomState(seed)
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    g = build_graph(src, dst, n)
+    hg = build_halo_graph(src, dst, n, mesh)
+    x = rs.randn(n, f).astype(np.float32)
+    return g, hg, x
+
+
+def test_halo_spmm_matches_single_device(mesh8):
+    g, hg, x = _setup(mesh8)
+    xs = shard_features(x, hg)
+    out = np.asarray(jax.jit(lambda a: halo_copy_u_sum(hg, a))(xs))
+    expect = np.asarray(refops.copy_u_sum(g, jnp.asarray(x)))
+    np.testing.assert_allclose(out[: g.n_nodes], expect, rtol=1e-5,
+                               atol=1e-5)
+    # ghost rows untouched
+    assert np.abs(out[g.n_nodes:]).max() == 0.0
+
+
+def test_halo_spmm_gradient(mesh8):
+    g, hg, x = _setup(mesh8, seed=1)
+    co = np.random.RandomState(2).randn(hg.n_pad, 16).astype(np.float32)
+
+    def f_halo(a):
+        return (halo_copy_u_sum(hg, a) * co).sum()
+
+    def f_ref(a):
+        return (refops.copy_u_sum(g, a) * co[: g.n_nodes]).sum()
+
+    gx = np.asarray(jax.jit(jax.grad(f_halo))(shard_features(x, hg)))
+    gr = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
+    np.testing.assert_allclose(gx[: g.n_nodes], gr, rtol=1e-5, atol=1e-5)
+
+
+def test_full_gcn_forward_on_halo_graph(mesh8):
+    """The flax GCN runs unchanged on a HaloGraph: sharded activations
+    must match the single-device forward (allclose)."""
+    from glnn_tpu.nn.models import Model
+
+    g, hg, x = _setup(mesh8, n=264, e=2000, f=24, seed=3)
+    model = Model(dict(model_name="GCN", num_layers=2, hidden_dim=32,
+                       label_dim=5, dropout_ratio=0.0, norm_type="none"))
+    v = model.init(jax.random.PRNGKey(0), g, jnp.asarray(x))
+    single = model.apply(v, g, jnp.asarray(x), training=False)[1]
+
+    xs = shard_features(x, hg)
+    sharded = jax.jit(
+        lambda vv, a: model.apply(vv, hg, a, training=False)[1])(v, xs)
+    np.testing.assert_allclose(np.asarray(sharded)[: g.n_nodes],
+                               np.asarray(single), rtol=1e-4, atol=1e-4)
+
+
+def test_full_sage_forward_on_halo_graph(mesh8):
+    from glnn_tpu.nn.models import Model
+
+    g, hg, x = _setup(mesh8, n=264, e=2000, f=24, seed=4)
+    model = Model(dict(model_name="SAGE", num_layers=2, hidden_dim=32,
+                       label_dim=5, dropout_ratio=0.0, norm_type="none"))
+    v = model.init(jax.random.PRNGKey(0), g, jnp.asarray(x))
+    single = model.apply(v, g, jnp.asarray(x), training=False)[1]
+    xs = shard_features(x, hg)
+    sharded = jax.jit(
+        lambda vv, a: model.apply(vv, hg, a, training=False)[1])(v, xs)
+    np.testing.assert_allclose(np.asarray(sharded)[: g.n_nodes],
+                               np.asarray(single), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_training_step_matches_single_device(mesh8):
+    """One full GCN training step on the sharded graph: loss and the
+    updated parameters must match the single-device step."""
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import (create_train_state, make_adam,
+                                make_gnn_train_step)
+
+    g, hg, x = _setup(mesh8, n=264, e=2000, f=24, seed=5)
+    rs = np.random.RandomState(6)
+    labels = rs.randint(0, 5, g.n_nodes)
+    labels_pad = np.concatenate([labels, np.zeros(hg.n_pad - g.n_nodes,
+                                                  np.int64)])
+    idx_train = rs.choice(g.n_nodes, 50, replace=False)
+
+    model = Model(dict(model_name="GCN", num_layers=2, hidden_dim=32,
+                       label_dim=5, dropout_ratio=0.0, norm_type="none"))
+    opt = make_adam(0.01, 0.0005)
+    v = model.init(jax.random.PRNGKey(0), g, jnp.asarray(x))
+    step = make_gnn_train_step(model, opt)
+
+    s0 = create_train_state(v, opt)
+    s1, loss1 = step(s0, g, jnp.asarray(x), jnp.asarray(labels),
+                     jnp.asarray(idx_train), jax.random.PRNGKey(1))
+
+    s0b = create_train_state(v, opt)
+    xs = shard_features(x, hg)
+    s2, loss2 = step(s0b, hg, xs, jnp.asarray(labels_pad),
+                     jnp.asarray(idx_train), jax.random.PRNGKey(1))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for k1, k2 in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                                   rtol=1e-4, atol=1e-5)
