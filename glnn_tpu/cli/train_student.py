@@ -122,6 +122,7 @@ def run(args):
         )
 
     loss_and_score = []
+    state_out = {} if args.save_results else None
     G = g.to_device()
     if args.exp_setting == "tran":
         idx_l = idx_train
@@ -131,7 +132,7 @@ def run(args):
             feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
         out, score_val, score_test = distill_run_transductive(
             conf, model, feats, labels, out_t, distill_indices, optimizer,
-            logger, loss_and_score,
+            logger, loss_and_score, state_out=state_out,
         )
         score_lst = [score_test]
     else:
@@ -152,7 +153,7 @@ def run(args):
         out, score_val, score_test_tran, score_test_ind = (
             distill_run_inductive(
                 conf, model, feats, labels, out_t, distill_indices,
-                optimizer, logger, loss_and_score,
+                optimizer, logger, loss_and_score, state_out=state_out,
             ))
         score_lst = [score_test_tran, score_test_ind]
 
@@ -166,6 +167,9 @@ def run(args):
     if args.save_results:
         np.savez(output_dir.joinpath("loss_and_score"),
                  np.array(loss_and_score))
+        from glnn_tpu.utils.checkpoint import save_model
+        save_model(output_dir.joinpath("model.ckpt"),
+                   state_out["params"], state_out["batch_stats"])
 
     if args.exp_setting == "tran" and args.compute_min_cut:
         min_cut = float(compute_min_cut_loss(G, np.asarray(out)))

@@ -85,6 +85,7 @@ def run(args):
     optimizer = make_adam(conf["learning_rate"], conf["weight_decay"])
 
     loss_and_score = []
+    state_out = {} if args.save_results else None
     # GNN teachers get the Pallas SpMM plan; MLP never touches the graph
     G = g.to_device(build_plans=not model.is_mlp)
     if args.exp_setting == "tran":
@@ -93,7 +94,7 @@ def run(args):
             feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
         out, score_val, score_test = run_transductive(
             conf, model, G, feats, labels, indices, optimizer, logger,
-            loss_and_score,
+            loss_and_score, state_out=state_out,
         )
         score_lst = [score_test]
     elif args.exp_setting == "ind":
@@ -109,7 +110,7 @@ def run(args):
             feats[idx_obs] = obs_feats
         out, score_val, score_test_tran, score_test_ind = run_inductive(
             conf, model, G, obs_G, feats, labels, indices, optimizer, logger,
-            loss_and_score,
+            loss_and_score, state_out=state_out,
         )
         score_lst = [score_test_tran, score_test_ind]
     else:
@@ -125,6 +126,9 @@ def run(args):
     if args.save_results:
         np.savez(output_dir.joinpath("loss_and_score"),
                  np.array(loss_and_score))
+        from glnn_tpu.utils.checkpoint import save_model
+        save_model(output_dir.joinpath("model.ckpt"),
+                   state_out["params"], state_out["batch_stats"])
 
     if args.exp_setting == "tran" and args.compute_min_cut:
         min_cut = float(compute_min_cut_loss(G, np.asarray(out)))

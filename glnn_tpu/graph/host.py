@@ -69,12 +69,12 @@ class HostGraph:
         )
 
     def to_bidirected(self) -> "HostGraph":
-        """Symmetrize and deduplicate the edge set."""
-        src = np.concatenate([self.src, self.dst])
-        dst = np.concatenate([self.dst, self.src])
-        key = src * self.n_nodes + dst
-        _, keep = np.unique(key, return_index=True)
-        return self._with_edges(src[keep], dst[keep])
+        """Symmetrize and deduplicate the edge set (native C++ kernel
+        when built, numpy otherwise)."""
+        from glnn_tpu import native
+
+        src, dst = native.to_bidirected(self.src, self.dst, self.n_nodes)
+        return self._with_edges(src, dst)
 
     def remove_self_loop(self) -> "HostGraph":
         keep = self.src != self.dst
@@ -88,32 +88,27 @@ class HostGraph:
 
     def subgraph(self, idx: np.ndarray) -> "HostGraph":
         """Node-induced subgraph, relabeled so new id i == idx[i]."""
+        from glnn_tpu import native
+
         idx = np.asarray(idx, np.int64)
-        new_id = np.full(self.n_nodes, -1, np.int64)
-        new_id[idx] = np.arange(idx.shape[0])
-        keep = (new_id[self.src] >= 0) & (new_id[self.dst] >= 0)
-        g = HostGraph(new_id[self.src[keep]], new_id[self.dst[keep]], idx.shape[0])
+        src, dst = native.induced_subgraph(self.src, self.dst,
+                                           self.n_nodes, idx)
+        g = HostGraph(src, dst, idx.shape[0])
         g.ndata = {k: v[idx] for k, v in self.ndata.items()}
         return g
 
     # -- CSR views ----------------------------------------------------
     def csr(self) -> tuple[np.ndarray, np.ndarray]:
         """Out-adjacency CSR (indptr, indices): neighbors reachable FROM v."""
-        order = np.argsort(self.src, kind="stable")
-        indices = self.dst[order]
-        counts = np.bincount(self.src, minlength=self.n_nodes)
-        indptr = np.zeros(self.n_nodes + 1, np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        return indptr, indices
+        from glnn_tpu import native
+
+        return native.coo_to_csr(self.src, self.dst, self.n_nodes)
 
     def csc(self) -> tuple[np.ndarray, np.ndarray]:
         """In-adjacency CSR (indptr, indices): in-neighbors of v."""
-        order = np.argsort(self.dst, kind="stable")
-        indices = self.src[order]
-        counts = np.bincount(self.dst, minlength=self.n_nodes)
-        indptr = np.zeros(self.n_nodes + 1, np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        return indptr, indices
+        from glnn_tpu import native
+
+        return native.coo_to_csr(self.dst, self.src, self.n_nodes)
 
     def adj_scipy(self) -> sp.csr_matrix:
         return sp.csr_matrix(
@@ -136,8 +131,9 @@ class HostGraph:
 
 def largest_connected_component(g: HostGraph) -> np.ndarray:
     """Node indices of the largest (weakly) connected component."""
-    adj = g.adj_scipy()
-    n_comp, labels = sp.csgraph.connected_components(adj, directed=False)
+    from glnn_tpu import native
+
+    n_comp, labels = native.connected_components(g.src, g.dst, g.n_nodes)
     if n_comp == 1:
         return np.arange(g.n_nodes)
     sizes = np.bincount(labels)

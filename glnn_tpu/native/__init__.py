@@ -1,0 +1,133 @@
+"""ctypes bindings for the native host-graph kernels (native/graphops.cpp).
+
+Loads `native/libglnnops.so`, building it with make on first use if the
+toolchain is available. Every entry point has a numpy fallback, so the
+framework runs (slower) without a compiler. `available()` reports which
+path is active; HostGraph routes its edge surgery through here.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libglnnops.so"))
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    for name, argtypes in [
+        ("sort_edges", [ctypes.c_int64, i64p, ctypes.c_int64, i64p]),
+        ("coo_to_csr", [ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+                        i64p]),
+        ("to_bidirected", [ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+                           i64p, i64p]),
+        ("connected_components", [ctypes.c_int64, ctypes.c_int64, i64p,
+                                  i64p, i64p]),
+        ("induced_subgraph", [ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+                              ctypes.c_int64, i64p, i64p, i64p, i64p]),
+        ("degrees", [ctypes.c_int64, ctypes.c_int64, i64p, i64p]),
+    ]:
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+        fn.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _c64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, np.int64))
+
+
+def coo_to_csr(src, dst, n: int):
+    src, dst = _c64(src), _c64(dst)
+    e = src.shape[0]
+    lib = _load()
+    if lib is not None:
+        indptr = np.empty(n + 1, np.int64)
+        indices = np.empty(e, np.int64)
+        lib.coo_to_csr(n, e, _p(src), _p(dst), _p(indptr), _p(indices))
+        return indptr, indices
+    order = np.argsort(src, kind="stable")
+    counts = np.bincount(src, minlength=n)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, dst[order]
+
+
+def to_bidirected(src, dst, n: int):
+    src, dst = _c64(src), _c64(dst)
+    e = src.shape[0]
+    lib = _load()
+    if lib is not None:
+        so = np.empty(2 * e, np.int64)
+        do = np.empty(2 * e, np.int64)
+        m = lib.to_bidirected(n, e, _p(src), _p(dst), _p(so), _p(do))
+        return so[:m].copy(), do[:m].copy()
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    key = s2 * n + d2
+    _, keep = np.unique(key, return_index=True)
+    return s2[keep], d2[keep]
+
+
+def connected_components(src, dst, n: int):
+    src, dst = _c64(src), _c64(dst)
+    lib = _load()
+    if lib is not None:
+        comp = np.empty(n, np.int64)
+        k = lib.connected_components(n, src.shape[0], _p(src), _p(dst),
+                                     _p(comp))
+        return int(k), comp
+    import scipy.sparse as sp
+    adj = sp.csr_matrix((np.ones(len(src), np.int8), (src, dst)),
+                        shape=(n, n))
+    k, comp = sp.csgraph.connected_components(adj, directed=False)
+    return int(k), comp.astype(np.int64)
+
+
+def induced_subgraph(src, dst, n: int, idx):
+    src, dst, idx = _c64(src), _c64(dst), _c64(idx)
+    e, k = src.shape[0], idx.shape[0]
+    lib = _load()
+    if lib is not None:
+        new_id = np.empty(n, np.int64)
+        so = np.empty(max(e, 1), np.int64)
+        do = np.empty(max(e, 1), np.int64)
+        m = lib.induced_subgraph(n, e, _p(src), _p(dst), k, _p(idx),
+                                 _p(new_id), _p(so), _p(do))
+        return so[:m].copy(), do[:m].copy()
+    new_id = np.full(n, -1, np.int64)
+    new_id[idx] = np.arange(k)
+    keep = (new_id[src] >= 0) & (new_id[dst] >= 0)
+    return new_id[src[keep]], new_id[dst[keep]]

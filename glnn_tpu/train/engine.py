@@ -44,6 +44,7 @@ from glnn_tpu.train.losses import (
     nll_loss,
 )
 from glnn_tpu.train.state import TrainState
+from glnn_tpu.utils.profiling import StepTimer
 
 
 # --------------------------------------------------------------------
@@ -224,7 +225,7 @@ def _subset_metrics(out, labels, idx):
 # --------------------------------------------------------------------
 
 def run_transductive(conf, model, g, feats, labels, indices, optimizer,
-                     logger, loss_and_score):
+                     logger, loss_and_score, state_out=None):
     """Teacher training, transductive. Returns (out, score_val, score_test)
     with `out` = all-node log-probs from the best checkpoint."""
     idx_train, idx_val, idx_test = [jnp.asarray(i) for i in indices]
@@ -256,8 +257,10 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         eval_fn = make_eval_fn(model)
 
     tracker = _BestTracker(state)
+    timer = StepTimer()
     for epoch in range(1, conf["max_epoch"] + 1):
         epoch_rng = jax.random.fold_in(run_rng, epoch)
+        timer.__enter__()
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
         elif sampled:
@@ -269,6 +272,7 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
             state, loss = step_fn(state, g, feats, labels, idx_train,
                                   epoch_rng)
 
+        timer.__exit__()
         if epoch % conf["eval_interval"] == 0:
             if is_mlp:
                 out_train = eval_fn(state.params, state.batch_stats,
@@ -297,7 +301,13 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
             break
 
+    logger.info(
+        f"mean epoch time: {timer.mean * 1e3:.1f} ms over {timer.count} epochs")
     state = state.restore(tracker.snap)
+    if state_out is not None:
+        state_out["params"] = state.params
+        state_out["batch_stats"] = state.batch_stats
+        state_out["best_epoch"] = tracker.best_epoch
     if is_mlp:
         out = eval_fn(state.params, state.batch_stats, feats)
     else:
@@ -312,7 +322,7 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
 
 
 def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
-                  logger, loss_and_score):
+                  logger, loss_and_score, state_out=None):
     """Teacher training, inductive. Trains on the observed subgraph only;
     final soft labels merge obs-graph predictions over the full-graph
     tensor (`out[idx_obs] = obs_out`, train_and_eval.py:508).
@@ -351,8 +361,10 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         eval_fn = make_eval_fn(model)
 
     tracker = _BestTracker(state)
+    timer = StepTimer()
     for epoch in range(1, conf["max_epoch"] + 1):
         epoch_rng = jax.random.fold_in(run_rng, epoch)
+        timer.__enter__()
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
         elif sampled:
@@ -365,6 +377,7 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
             state, loss = step_fn(state, obs_g, obs_feats, obs_labels,
                                   obs_idx_train, epoch_rng)
 
+        timer.__exit__()
         if epoch % conf["eval_interval"] == 0:
             if is_mlp:
                 out_all = eval_fn(state.params, state.batch_stats, feats)
@@ -394,7 +407,13 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
             break
 
+    logger.info(
+        f"mean epoch time: {timer.mean * 1e3:.1f} ms over {timer.count} epochs")
     state = state.restore(tracker.snap)
+    if state_out is not None:
+        state_out["params"] = state.params
+        state_out["batch_stats"] = state.batch_stats
+        state_out["best_epoch"] = tracker.best_epoch
     if is_mlp:
         out_all = eval_fn(state.params, state.batch_stats, feats)
         obs_out = out_all[idx_obs]
@@ -422,7 +441,7 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
 
 def distill_run_transductive(conf, model, feats, labels, out_t_all,
                              distill_indices, optimizer, logger,
-                             loss_and_score):
+                             loss_and_score, state_out=None):
     """GLNN distillation, transductive. Two optimizer passes per epoch:
     hard labels on idx_l scaled by lamb, then teacher log-probs on
     idx_t scaled by 1-lamb (train_and_eval.py:559-566)."""
@@ -451,13 +470,16 @@ def distill_run_transductive(conf, model, feats, labels, out_t_all,
     eval_fn = make_mlp_eval_fn(model)
 
     tracker = _BestTracker(state)
+    timer = StepTimer()
     for epoch in range(1, conf["max_epoch"] + 1):
         rng_l = jax.random.fold_in(run_rng, 2 * epoch)
         rng_t = jax.random.fold_in(run_rng, 2 * epoch + 1)
+        timer.__enter__()
         state, loss_l = hard_epoch(state, feats_l, labels_l, rng_l)
         state, loss_t = soft_epoch(state, feats_t, out_t, rng_t)
         loss = float(loss_l) + float(loss_t)
 
+        timer.__exit__()
         if epoch % conf["eval_interval"] == 0:
             out = eval_fn(state.params, state.batch_stats, feats)
             _, score_l = _subset_metrics(out, labels, idx_l)
@@ -474,7 +496,13 @@ def distill_run_transductive(conf, model, feats, labels, out_t_all,
         if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
             break
 
+    logger.info(
+        f"mean epoch time: {timer.mean * 1e3:.1f} ms over {timer.count} epochs")
     state = state.restore(tracker.snap)
+    if state_out is not None:
+        state_out["params"] = state.params
+        state_out["batch_stats"] = state.batch_stats
+        state_out["best_epoch"] = tracker.best_epoch
     out = eval_fn(state.params, state.batch_stats, feats)
     _, score_val = _subset_metrics(out, labels, idx_val)
     _, score_test = _subset_metrics(out, labels, idx_test)
@@ -487,7 +515,7 @@ def distill_run_transductive(conf, model, feats, labels, out_t_all,
 
 def distill_run_inductive(conf, model, feats, labels, out_t_all,
                           distill_indices, optimizer, logger,
-                          loss_and_score):
+                          loss_and_score, state_out=None):
     """GLNN distillation, inductive: soft-label set is the OBSERVED
     train+val+test only; final out merges obs predictions
     (train_and_eval.py:737). Returns
@@ -521,13 +549,16 @@ def distill_run_inductive(conf, model, feats, labels, out_t_all,
     eval_fn = make_mlp_eval_fn(model)
 
     tracker = _BestTracker(state)
+    timer = StepTimer()
     for epoch in range(1, conf["max_epoch"] + 1):
         rng_l = jax.random.fold_in(run_rng, 2 * epoch)
         rng_t = jax.random.fold_in(run_rng, 2 * epoch + 1)
+        timer.__enter__()
         state, loss_l = hard_epoch(state, feats_l, labels_l, rng_l)
         state, loss_t = soft_epoch(state, feats_t, out_t, rng_t)
         loss = float(loss_l) + float(loss_t)
 
+        timer.__exit__()
         if epoch % conf["eval_interval"] == 0:
             out_all = eval_fn(state.params, state.batch_stats, feats)
             obs_out = out_all[idx_obs]
@@ -551,7 +582,13 @@ def distill_run_inductive(conf, model, feats, labels, out_t_all,
         if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:
             break
 
+    logger.info(
+        f"mean epoch time: {timer.mean * 1e3:.1f} ms over {timer.count} epochs")
     state = state.restore(tracker.snap)
+    if state_out is not None:
+        state_out["params"] = state.params
+        state_out["batch_stats"] = state.batch_stats
+        state_out["best_epoch"] = tracker.best_epoch
     out_all = eval_fn(state.params, state.batch_stats, feats)
     obs_out = out_all[idx_obs]
     _, score_val = _subset_metrics(obs_out, obs_labels, obs_idx_val)

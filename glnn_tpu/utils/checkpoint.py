@@ -1,0 +1,43 @@
+"""Durable checkpoints (orbax) + the out.npz soft-label artifact.
+
+The reference's only durable artifacts are end-of-run: `out.npz`
+(the load-bearing teacher->student handoff), optional `model.pth`
+state_dict and loss curves (SURVEY.md §5 checkpoint/resume). Here the
+model checkpoint is an orbax PyTree directory (`model.ckpt/`) holding
+{params, batch_stats}; the out.npz contract is byte-compatible with
+the reference (np.savez of a single array)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def save_model(path, params, batch_stats=None) -> None:
+    """Write {params, batch_stats} under `path` (directory)."""
+    path = Path(path).absolute()
+    tree = {"params": params, "batch_stats": batch_stats or {}}
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(tree), force=True)
+        ckptr.wait_until_finished()
+    except Exception:
+        # flat-npz fallback keeps the artifact portable
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+        os.makedirs(path, exist_ok=True)
+        np.savez(path / "flat.npz", **arrays)
+
+
+def load_model(path):
+    """Load {params, batch_stats} saved by save_model. Needs an
+    orbax-written checkpoint (the npz fallback is for export only)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    return ocp.StandardCheckpointer().restore(path)

@@ -1,0 +1,124 @@
+// Native host-side graph kernels for glnn_tpu.
+//
+// The reference delegates its graph surgery to DGL's C++ backend
+// (to_bidirected / subgraph / largest-CC / CSR materialization —
+// SURVEY.md §2.3 rows 4-7). These are the TPU-framework equivalents:
+// they run once at ingest time on the host, so the goal is
+// single-pass O(E) algorithms with no allocation surprises at the
+// 100M+ edge scale of ogbn-products.
+//
+// ABI: plain C functions over caller-allocated int64 buffers
+// (ctypes-friendly; see glnn_tpu/native/__init__.py). Every function
+// returns 0 on success.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// Counting-sort COO edges by `key` (stable); writes the permutation.
+// key: e values in [0, n); order_out: e slots.
+int64_t sort_edges(int64_t e, const int64_t* key, int64_t n,
+                   int64_t* order_out) {
+  std::vector<int64_t> count(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) count[key[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) count[v + 1] += count[v];
+  for (int64_t i = 0; i < e; ++i) order_out[count[key[i]]++] = i;
+  return 0;
+}
+
+// CSR from COO: indptr_out has n+1 slots, indices_out e slots
+// (dst values permuted into row order).
+int64_t coo_to_csr(int64_t n, int64_t e, const int64_t* src,
+                   const int64_t* dst, int64_t* indptr_out,
+                   int64_t* indices_out) {
+  std::memset(indptr_out, 0, sizeof(int64_t) * (n + 1));
+  for (int64_t i = 0; i < e; ++i) indptr_out[src[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) indptr_out[v + 1] += indptr_out[v];
+  std::vector<int64_t> cursor(indptr_out, indptr_out + n);
+  for (int64_t i = 0; i < e; ++i) indices_out[cursor[src[i]]++] = dst[i];
+  return 0;
+}
+
+// Symmetrize + dedup. src_out/dst_out must hold 2e slots; returns the
+// number of unique edges written (or -1 on overflow, impossible here).
+int64_t to_bidirected(int64_t n, int64_t e, const int64_t* src,
+                      const int64_t* dst, int64_t* src_out,
+                      int64_t* dst_out) {
+  std::vector<uint64_t> keys(2 * (size_t)e);
+  const uint64_t un = (uint64_t)n;
+  for (int64_t i = 0; i < e; ++i) {
+    keys[2 * i] = (uint64_t)src[i] * un + (uint64_t)dst[i];
+    keys[2 * i + 1] = (uint64_t)dst[i] * un + (uint64_t)src[i];
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  int64_t m = (int64_t)keys.size();
+  for (int64_t i = 0; i < m; ++i) {
+    src_out[i] = (int64_t)(keys[i] / un);
+    dst_out[i] = (int64_t)(keys[i] % un);
+  }
+  return m;
+}
+
+// Weakly-connected components via union-find with path halving.
+// comp_out: n slots, filled with component roots relabeled 0..k-1;
+// returns the number of components.
+int64_t connected_components(int64_t n, int64_t e, const int64_t* src,
+                             const int64_t* dst, int64_t* comp_out) {
+  std::vector<int64_t> parent(n);
+  std::iota(parent.begin(), parent.end(), 0);
+  auto find = [&](int64_t v) {
+    while (parent[v] != v) {
+      parent[v] = parent[parent[v]];
+      v = parent[v];
+    }
+    return v;
+  };
+  for (int64_t i = 0; i < e; ++i) {
+    int64_t a = find(src[i]), b = find(dst[i]);
+    if (a != b) parent[a] = b;
+  }
+  std::vector<int64_t> label(n, -1);
+  int64_t k = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t r = find(v);
+    if (label[r] < 0) label[r] = k++;
+    comp_out[v] = label[r];
+  }
+  return k;
+}
+
+// Node-induced subgraph relabeled in idx order. new_id: n scratch
+// slots (filled by this function); src_out/dst_out: e slots; returns
+// the number of kept edges.
+int64_t induced_subgraph(int64_t n, int64_t e, const int64_t* src,
+                         const int64_t* dst, int64_t k, const int64_t* idx,
+                         int64_t* new_id, int64_t* src_out,
+                         int64_t* dst_out) {
+  for (int64_t v = 0; v < n; ++v) new_id[v] = -1;
+  for (int64_t i = 0; i < k; ++i) new_id[idx[i]] = i;
+  int64_t m = 0;
+  for (int64_t i = 0; i < e; ++i) {
+    int64_t a = new_id[src[i]], b = new_id[dst[i]];
+    if (a >= 0 && b >= 0) {
+      src_out[m] = a;
+      dst_out[m] = b;
+      ++m;
+    }
+  }
+  return m;
+}
+
+// Degree histogram (in or out) for degree-bucketed planning.
+int64_t degrees(int64_t n, int64_t e, const int64_t* nodes,
+                int64_t* deg_out) {
+  std::memset(deg_out, 0, sizeof(int64_t) * n);
+  for (int64_t i = 0; i < e; ++i) deg_out[nodes[i]]++;
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,73 @@
+"""Native C++ graph kernels vs numpy fallback parity."""
+
+import numpy as np
+import pytest
+
+from glnn_tpu import native
+
+
+def _rand(n=500, e=4000, seed=0):
+    rs = np.random.RandomState(seed)
+    return rs.randint(0, n, e), rs.randint(0, n, e), n
+
+
+def test_native_builds():
+    assert native.available(), (
+        "libglnnops.so failed to build — check native/Makefile and g++"
+    )
+
+
+def test_coo_to_csr():
+    src, dst, n = _rand()
+    indptr, indices = native.coo_to_csr(src, dst, n)
+    assert indptr[-1] == len(src)
+    for v in range(0, n, 37):
+        got = sorted(indices[indptr[v]:indptr[v + 1]].tolist())
+        assert got == sorted(dst[src == v].tolist())
+
+
+def test_to_bidirected_matches_numpy():
+    src, dst, n = _rand(seed=1)
+    so, do = native.to_bidirected(src, dst, n)
+    # numpy reference
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    key = np.unique(s2 * n + d2)
+    got = np.sort(so * n + do)
+    np.testing.assert_array_equal(got, key)
+
+
+def test_connected_components():
+    # chain 0-1-2, chain 3-4, isolated 5
+    src = np.array([0, 1, 3])
+    dst = np.array([1, 2, 4])
+    k, comp = native.connected_components(src, dst, 6)
+    assert k == 3
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[3] == comp[4]
+    assert comp[5] not in (comp[0], comp[3])
+
+
+def test_induced_subgraph():
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 0])
+    so, do = native.induced_subgraph(src, dst, 4, np.array([2, 3, 0]))
+    pairs = set(zip(so.tolist(), do.tolist()))
+    assert pairs == {(0, 1), (1, 2)}
+
+
+def test_large_roundtrip_consistency():
+    """Native and numpy paths agree on a bigger random graph."""
+    src, dst, n = _rand(n=3000, e=40000, seed=2)
+    indptr_n, indices_n = native.coo_to_csr(src, dst, n)
+    order = np.argsort(src, kind="stable")
+    counts = np.bincount(src, minlength=n)
+    indptr_ref = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr_ref[1:])
+    np.testing.assert_array_equal(indptr_n, indptr_ref)
+    # per-row sets equal (order within a row may differ)
+    ref_sorted = dst[order]
+    for v in range(0, n, 211):
+        a = np.sort(indices_n[indptr_n[v]:indptr_n[v + 1]])
+        b = np.sort(ref_sorted[indptr_ref[v]:indptr_ref[v + 1]])
+        np.testing.assert_array_equal(a, b)
