@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""ogbn-products-scale validation on one chip.
+
+Generates a products-sized synthetic graph (2.45M nodes, ~62M directed
+edges, 100 features, 47 classes) and measures the production teacher
+recipe (SAGE 3x256, batchnorm, fanout 5,10,15, batch 4096 —
+train.conf.yaml:196-204) end to end:
+
+  1. host ingest (COO -> device container)
+  2. one fanout-sampled training epoch (on-device sampler)
+  3. one full-graph chunked inference forward (the layer-wise
+     SAGE.inference analog)
+
+Prints one JSON line per stage. This is the de-risking harness for the
+BASELINE 'teacher epoch time on ogbn-products' metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N = 2_449_029
+E = 61_859_140
+F = 100
+C = 47
+TRAIN = 196_615
+BATCH = 4096
+FANOUT = (5, 10, 15)
+
+
+def time_scalar(fn, *args, iters=2, warmup=1):
+    import jax
+
+    def force(out):
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        return float(leaf.sum() if getattr(leaf, "ndim", 0) else leaf)
+
+    for _ in range(warmup):
+        force(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        force(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from glnn_tpu.graph.container import build_graph
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import create_train_state, make_adam, make_eval_fn
+    from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
+
+    rs = np.random.RandomState(0)
+    t0 = time.perf_counter()
+    src = rs.randint(0, N, E).astype(np.int64)
+    dst = rs.randint(0, N, E).astype(np.int64)
+    gen_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g = build_graph(src, dst, N)
+    ingest_s = time.perf_counter() - t0
+    del src, dst
+    print(json.dumps({"stage": "ingest", "seconds": round(ingest_s, 2),
+                      "host_gen_s": round(gen_s, 2)}), flush=True)
+
+    feats = jnp.asarray(rs.randn(N, F).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, C, N))
+    idx_train = jnp.asarray(rs.choice(N, TRAIN, replace=False))
+
+    model = Model(dict(model_name="SAGE", num_layers=3, hidden_dim=256,
+                       label_dim=C, dropout_ratio=0.5, norm_type="batch"))
+    opt = make_adam(0.003, 0.0)
+    # init on a tiny same-width graph: parameter shapes depend only on
+    # feature dims, so there is no need to trace the 62M-edge forward
+    tiny = build_graph(rs.randint(0, 64, 256), rs.randint(0, 64, 256), 64)
+    t0 = time.perf_counter()
+    state = create_train_state(
+        model.init(jax.random.PRNGKey(0), tiny, feats[:64]), opt)
+    init_s = time.perf_counter() - t0
+    print(json.dumps({"stage": "init", "seconds": round(init_s, 2)}),
+          flush=True)
+
+    epoch_fn = make_sage_sampled_epoch_fn(model, opt, BATCH, FANOUT)
+    t0 = time.perf_counter()
+    state, loss, ovf = epoch_fn(state, g, feats, labels, idx_train,
+                                jax.random.PRNGKey(1))
+    loss_v = float(loss)
+    compile_s = time.perf_counter() - t0
+    epoch_s = time_scalar(
+        lambda s: epoch_fn(s, g, feats, labels, idx_train,
+                           jax.random.PRNGKey(2))[1], state, iters=2)
+    print(json.dumps({
+        "stage": "sampled_epoch", "seconds": round(epoch_s, 2),
+        "first_call_s": round(compile_s, 2), "loss": round(loss_v, 4),
+        "overflow": bool(ovf),
+        "batches": -(-TRAIN // BATCH),
+    }), flush=True)
+
+    eval_fn = make_eval_fn(model)
+    ev_s = time_scalar(
+        lambda: eval_fn(state.params, state.batch_stats, g, feats),
+        iters=1)
+    print(json.dumps({"stage": "full_graph_eval", "seconds": round(ev_s, 2),
+                      "edges_per_s": round(3 * E / ev_s, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,8 +86,11 @@ def run(args):
 
     loss_and_score = []
     state_out = {} if args.save_results else None
-    # GNN teachers get the Pallas SpMM plan; MLP never touches the graph
-    G = g.to_device(build_plans=not model.is_mlp)
+    # GNN teachers get the Pallas SpMM plan; MLP never touches the graph.
+    # Very large graphs (ogbn-products) skip the plan: their full-graph
+    # aggregation runs the chunked streaming path instead (ops._oversized).
+    build_plans = not model.is_mlp and g.num_edges() < 8_000_000
+    G = g.to_device(build_plans=build_plans)
     if args.exp_setting == "tran":
         indices = (idx_train, idx_val, idx_test)
         if args.feature_aug_k > 0:

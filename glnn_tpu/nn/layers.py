@@ -124,21 +124,28 @@ class GATConv(nn.Module):
 def appnp_propagate(g: Graph, h: jax.Array, k: int, alpha: float,
                     edge_drop: float, training: bool = False,
                     rng: Optional[jax.Array] = None) -> jax.Array:
-    """APPNPConv(k, alpha, edge_drop) propagation after the MLP head."""
+    """APPNPConv(k, alpha, edge_drop) propagation after the MLP head.
+
+    The k hops run under lax.scan so the SpMM kernel is traced exactly
+    once (an unrolled loop would inline k forward + k backward Pallas
+    instances and blow up compile time)."""
     h0 = h
     use_drop = training and edge_drop > 0.0
     if use_drop and rng is None:
         raise ValueError("appnp_propagate needs an rng when edge_drop is on")
-    for i in range(k):
+
+    def body(carry, i):
         if use_drop:
             keep = jax.random.bernoulli(
                 jax.random.fold_in(rng, i), 1.0 - edge_drop, (g.e_pad,)
             )
-            w = keep.astype(h.dtype) / (1.0 - edge_drop)
-            prop = gcn_norm_both(g, h, edge_weight=w)
+            w = keep.astype(carry.dtype) / (1.0 - edge_drop)
+            prop = gcn_norm_both(g, carry, edge_weight=w)
         else:
-            prop = gcn_norm_both(g, h)
-        h = (1.0 - alpha) * prop + alpha * h0
+            prop = gcn_norm_both(g, carry)
+        return (1.0 - alpha) * prop + alpha * h0, None
+
+    h, _ = jax.lax.scan(body, h, jnp.arange(k))
     return h
 
 

@@ -55,11 +55,21 @@ def copy_u_sum(g, x):
         from glnn_tpu.distributed.halo import halo_copy_u_sum
 
         return halo_copy_u_sum(g, x)
+    if _oversized(g, x):
+        return _ref.copy_u_sum_chunked(g, x)
     if _use_pallas(g, x):
         from glnn_tpu.ops import spmm_pallas
 
         return spmm_pallas.copy_u_sum(g, x)
     return _ref.copy_u_sum(g, x)
+
+
+def _oversized(g, x) -> bool:
+    """Message tensor (E x F) would blow past the HBM budget -> use the
+    chunked streaming path (full-graph inference on ogbn-products)."""
+    return (x.ndim == 2 and
+            g.e_pad * x.shape[-1] * x.dtype.itemsize
+            > _ref.MESSAGE_BUDGET_BYTES)
 
 
 def copy_u_mean(g, x):
@@ -70,7 +80,15 @@ def copy_u_mean(g, x):
 
 
 def u_mul_e_sum(g, x, e):
-    if e.ndim == 1 and _use_pallas(g, x):
+    if _is_halo(g):
+        raise NotImplementedError(
+            "weighted aggregation on a HaloGraph (sharded GAT/APPNP "
+            "edge-drop) is not implemented yet; train those models "
+            "single-chip or with sage_sampling")
+    shapes_ok = ((x.ndim == 2 and e.ndim == 1)
+                 or (x.ndim == 3 and e.ndim == 2))
+    if (shapes_ok and g.plans is not None and _BACKEND != "xla"
+            and (_BACKEND == "pallas" or jax.default_backend() == "tpu")):
         from glnn_tpu.ops import spmm_pallas
 
         return spmm_pallas.u_mul_e_sum(g, x, e)

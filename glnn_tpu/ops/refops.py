@@ -39,6 +39,33 @@ def copy_u_sum(g: Graph, x: jax.Array) -> jax.Array:
     return _segment_sum(g, gather_src(g, x))
 
 
+# chunk the edge stream when the gathered message tensor would exceed
+# this many bytes (keeps ogbn-products-scale full-graph inference—the
+# reference's layer-wise SAGE.inference analog—inside HBM)
+MESSAGE_BUDGET_BYTES = 2 ** 31
+
+
+def copy_u_sum_chunked(g: Graph, x: jax.Array,
+                       budget_bytes: int = MESSAGE_BUDGET_BYTES) -> jax.Array:
+    """Memory-bounded copy_u_sum: stream dst-sorted edge chunks and
+    scatter-add into the output, never materializing all E x F
+    messages. Replaces the reference's layer-wise minibatched SAGE
+    inference (models.py:121-148) for graphs too large to aggregate in
+    one shot. Differentiable (scatter-add <-> gather transpose)."""
+    f = x.shape[-1]
+    chunk = max(1 << 18, budget_bytes // max(f * x.dtype.itemsize, 1))
+    if g.e_pad <= chunk:
+        return copy_u_sum(g, x)
+    x_ext = jnp.concatenate([x, jnp.zeros((1, f), x.dtype)], axis=0)
+    out = jnp.zeros((g.n_nodes + 1, f), x.dtype)
+    for start in range(0, g.e_pad, chunk):
+        stop = min(start + chunk, g.e_pad)
+        msgs = jnp.take(x_ext, g.senders[start:stop], axis=0)
+        out = out.at[g.receivers[start:stop]].add(
+            msgs, indices_are_sorted=True)
+    return out[: g.n_nodes]
+
+
 def copy_u_mean(g: Graph, x: jax.Array) -> jax.Array:
     """h_v = mean over in-neighbors (degree-0 rows -> 0)."""
     s = copy_u_sum(g, x)

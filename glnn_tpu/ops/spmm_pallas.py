@@ -158,15 +158,85 @@ def copy_u_sum(g: Graph, x: jax.Array) -> jax.Array:
     return _spmm(plan_fwd, plan_bwd, x, g.n_nodes)
 
 
-def u_mul_e_sum(g: Graph, x: jax.Array, e: jax.Array) -> jax.Array:
-    """Weighted SpMM. e: [e_pad] per-edge weights in the container's
-    dst-sorted order (padding entries ignored). NOTE: not yet routed
-    through a weighted custom VJP — used in inference paths; training
-    paths keep the XLA tier for weighted aggregation for now."""
-    plan_fwd, _ = g.plans
-    e_ext = jnp.concatenate([e[: plan_fwd.e_orig], jnp.zeros((1,), e.dtype)])
-    w = jnp.take(e_ext, plan_fwd.edge_perm)        # [slots]
-    m = jnp.take(_ghost_extend(x), plan_fwd.src_idx, axis=0) * w[:, None]
-    if x.dtype == jnp.float32:
+def _gather_weighted(plan: SpmmPlan, x: jax.Array, w: jax.Array
+                     ) -> jax.Array:
+    """Planned weighted messages, flattened to [slots, F_total].
+
+    x: [n, F] with w: [e_orig]         -> scalar-weighted messages
+    x: [n, H, D] with w: [e_orig, H]   -> per-head weights folded into
+                                          the feature axis (H*D) so ONE
+                                          kernel call carries all heads
+                                          (the GAT aggregation).
+    """
+    n = x.shape[0]
+    x2 = x.reshape(n, -1)
+    m = jnp.take(_ghost_extend(x2), plan.src_idx, axis=0)
+    w_ext = jnp.concatenate(
+        [w, jnp.zeros((1,) + w.shape[1:], w.dtype)], axis=0)
+    ws = jnp.take(w_ext, plan.edge_perm, axis=0)   # [slots] or [slots, H]
+    if w.ndim == 2:
+        h = w.shape[1]
+        d = x.shape[-1]
+        m = (m.reshape(-1, h, d) * ws[..., None]).reshape(-1, h * d)
+    else:
+        m = m * ws[:, None]
+    if m.dtype == jnp.float32:
         m = m.astype(_MESSAGE_DTYPE)
-    return segment_reduce(plan_fwd, m)[: g.n_nodes].astype(x.dtype)
+    return m
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _spmm_weighted(plan_fwd, plan_bwd, senders, receivers, x, w, n_nodes):
+    out = segment_reduce(plan_fwd, _gather_weighted(plan_fwd, x, w))
+    out = out[:n_nodes]
+    if w.ndim == 2:
+        out = out.reshape(n_nodes, w.shape[1], x.shape[-1])
+    return out.astype(x.dtype)
+
+
+def _spmm_weighted_fwd(plan_fwd, plan_bwd, senders, receivers, x, w,
+                       n_nodes):
+    out = _spmm_weighted(plan_fwd, plan_bwd, senders, receivers, x, w,
+                         n_nodes)
+    return out, (plan_fwd, plan_bwd, senders, receivers, x, w)
+
+
+def _spmm_weighted_bwd(n_nodes, res, dh):
+    plan_fwd, plan_bwd, senders, receivers, x, w = res
+    # dX[u] = sum_{e: src=u} w_e dH[dst_e]: the same weighted reduce on
+    # the transposed plan (its edge_perm is composed back into the
+    # original dst-sorted order, so the weight gather is shared).
+    dx = segment_reduce(plan_bwd, _gather_weighted(plan_bwd, dh, w))
+    dx = dx[:n_nodes]
+    if w.ndim == 2:
+        dx = dx.reshape(n_nodes, w.shape[1], x.shape[-1])
+    dx = dx.astype(x.dtype)
+
+    # dW_e = <x[src_e], dH[dst_e]> per edge (per head): an SDDMM over
+    # the real edges, done with two XLA row-gathers (E x F).
+    e_orig = plan_fwd.e_orig
+    src_e = senders[:e_orig]
+    dst_e = receivers[:e_orig]
+    if w.ndim == 2:
+        xs = jnp.take(x, src_e, axis=0)                # [E, H, D]
+        ds = jnp.take(dh, dst_e, axis=0)               # [E, H, D]
+        dw = jnp.sum(xs * ds, axis=-1)                 # [E, H]
+    else:
+        xs = jnp.take(x, src_e, axis=0)
+        ds = jnp.take(dh, dst_e, axis=0)
+        dw = jnp.sum(xs * ds, axis=-1)
+    return None, None, None, None, dx, dw.astype(w.dtype)
+
+
+_spmm_weighted.defvjp(_spmm_weighted_fwd, _spmm_weighted_bwd)
+
+
+def u_mul_e_sum(g: Graph, x: jax.Array, e: jax.Array) -> jax.Array:
+    """Weighted SpMM, differentiable in both x and the per-edge
+    weights (scalar weights: APPNP edge-drop; [E, H] weights: GAT
+    attention, all heads folded into one kernel call). `e` follows the
+    container's dst-sorted edge order; padding entries ignored."""
+    plan_fwd, plan_bwd = g.plans
+    w = e[: plan_fwd.e_orig]
+    return _spmm_weighted(plan_fwd, plan_bwd, g.senders, g.receivers, x, w,
+                          g.n_nodes)

@@ -113,3 +113,25 @@ def test_u_add_v():
     out = np.asarray(refops.u_add_v(g, jnp.asarray(au), jnp.asarray(av)))
     senders, receivers = np.asarray(g.senders), np.asarray(g.receivers)
     np.testing.assert_allclose(out, au[senders] + av[receivers], rtol=1e-6)
+
+
+def test_chunked_copy_u_sum_matches():
+    src, dst, n = _rand_graph(n=128, e=3000, seed=9)
+    g = build_graph(src, dst, n)
+    x = jnp.asarray(np.random.RandomState(9).randn(n, 16).astype(np.float32))
+    full = refops.copy_u_sum(g, x)
+    chunked = refops.copy_u_sum_chunked(g, x, budget_bytes=16 * 512)
+    np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_gradient_matches():
+    import jax
+
+    src, dst, n = _rand_graph(n=64, e=500, seed=10)
+    g = build_graph(src, dst, n)
+    x = jnp.asarray(np.random.RandomState(10).randn(n, 8).astype(np.float32))
+    g1 = jax.grad(lambda z: refops.copy_u_sum(g, z).sum())(x)
+    g2 = jax.grad(
+        lambda z: refops.copy_u_sum_chunked(g, z, budget_bytes=2048).sum()
+    )(x)
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)

@@ -139,3 +139,65 @@ def test_within_tile_src_sort_preserves_result():
     for t in range(pf.num_tiles):
         real = src[t][src[t] < 100]
         assert (np.diff(real) >= 0).all()
+
+
+def _interp(fn, *a):
+    import glnn_tpu.ops.spmm_pallas as mod
+    orig = mod.segment_reduce
+    mod.segment_reduce = lambda p, m, interpret=False: orig(p, m, True)
+    try:
+        return fn(*a)
+    finally:
+        mod.segment_reduce = orig
+
+
+def test_weighted_vjp_scalar():
+    g = _graph(n=150, e=900, seed=11).with_plans()
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(150, 16).astype(np.float32))
+    w = jnp.asarray(rs.rand(g.e_pad).astype(np.float32))
+    co = jnp.asarray(rs.randn(150, 16).astype(np.float32))
+
+    def loss_p(xx, ww):
+        return (sp.u_mul_e_sum(g, xx, ww) * co).sum()
+
+    def loss_r(xx, ww):
+        return (refops.u_mul_e_sum(g, xx, ww) * co).sum()
+
+    gx_p, gw_p = _interp(jax.grad(loss_p, argnums=(0, 1)), x, w)
+    gx_r, gw_r = jax.grad(loss_r, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gx_p, gx_r, rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(gw_p[: g.n_edges], gw_r[: g.n_edges],
+                               rtol=2e-2, atol=5e-2)
+
+
+def test_weighted_multihead_matches_refops():
+    g = _graph(n=100, e=600, seed=12).with_plans()
+    rs = np.random.RandomState(12)
+    h, d = 4, 8
+    x = jnp.asarray(rs.randn(100, h, d).astype(np.float32))
+    alpha = jnp.asarray(rs.rand(g.e_pad, h).astype(np.float32))
+    out_p = _interp(lambda: sp.u_mul_e_sum(g, x, alpha))
+    out_r = refops.u_mul_e_sum(g, x, alpha)
+    np.testing.assert_allclose(out_p, out_r, rtol=2e-2, atol=5e-2)
+
+
+def test_weighted_multihead_vjp():
+    g = _graph(n=80, e=400, seed=13).with_plans()
+    rs = np.random.RandomState(13)
+    h, d = 2, 8
+    x = jnp.asarray(rs.randn(80, h, d).astype(np.float32))
+    alpha = jnp.asarray(rs.rand(g.e_pad, h).astype(np.float32))
+    co = jnp.asarray(rs.randn(80, h, d).astype(np.float32))
+
+    def loss_p(xx, aa):
+        return (sp.u_mul_e_sum(g, xx, aa) * co).sum()
+
+    def loss_r(xx, aa):
+        return (refops.u_mul_e_sum(g, xx, aa) * co).sum()
+
+    gx_p, ga_p = _interp(jax.grad(loss_p, argnums=(0, 1)), x, alpha)
+    gx_r, ga_r = jax.grad(loss_r, argnums=(0, 1))(x, alpha)
+    np.testing.assert_allclose(gx_p, gx_r, rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(ga_p[: g.n_edges], ga_r[: g.n_edges],
+                               rtol=2e-2, atol=5e-2)
