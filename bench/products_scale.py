@@ -90,6 +90,7 @@ def main():
           flush=True)
 
     epoch_fn = make_sage_sampled_epoch_fn(model, opt, BATCH, FANOUT)
+    print(json.dumps({"stage": "epoch_compile_start"}), flush=True)
     t0 = time.perf_counter()
     state, loss, ovf = epoch_fn(state, g, feats, labels, idx_train,
                                 jax.random.PRNGKey(1))

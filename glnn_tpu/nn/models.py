@@ -235,10 +235,23 @@ class Model:
 
     # -- functional API ----------------------------------------------
     def init(self, key: jax.Array, g: Optional[Graph], feats: jax.Array):
-        dummy = feats[:2] if self.is_mlp else feats
+        """Initialize parameters. Shapes depend only on the feature
+        width, so large graphs are swapped for a tiny ring graph —
+        init never traces (or executes) a full-graph forward. Initial
+        parameter values are identical either way (flax init RNG is
+        keyed by parameter path, not by input data)."""
         if self.is_mlp:
-            return self.module.init({"params": key}, dummy, training=False)
-        return self.module.init({"params": key}, g, dummy, training=False)
+            return self.module.init({"params": key}, feats[:2],
+                                    training=False)
+        if g is None or g.n_nodes > 4096:
+            import numpy as np
+
+            from glnn_tpu.graph.container import build_graph
+
+            ring = np.arange(64, dtype=np.int64)
+            g = build_graph(ring, (ring + 1) % 64, 64)
+            feats = feats[:64]
+        return self.module.init({"params": key}, g, feats, training=False)
 
     def apply(self, variables, g, feats, training=False, rngs=None,
               mutable=False):

@@ -8,12 +8,16 @@ built by host C++ samplers, everything is jittable:
 * top-down frontier expansion: the seed batch samples `fanouts[-1]`
   in-neighbors per node, the union becomes the next frontier, down to
   the input node set;
-* frontiers are SORTED-UNIQUE arrays with static capacity
-  (`jnp.unique(..., size=cap, fill_value=n_nodes)`), ghost node
-  n_nodes padding throughout, plus one guaranteed ghost slot appended
-  so translations always resolve;
+* default (concat) mode: frontiers are plain concatenations
+  `[out_nodes, sampled.flatten()]` with arithmetic local indices — no
+  sort/unique/searchsorted anywhere in the traced graph (see
+  sample_blocks for why dedup buys nothing under worst-case caps);
+* dedup mode (when tightened `caps` are passed): SORTED-UNIQUE
+  frontiers with static capacity
+  (`jnp.unique(..., size=cap, fill_value=n_nodes)`) and `searchsorted`
+  local translation, ghost node n_nodes padding throughout;
 * per-conv block = (nbr_local, valid, self_local) index arrays into
-  the input frontier, via `searchsorted` on the sorted frontier.
+  the input frontier.
 
 Fanout semantics vs DGL 0.6.1: when deg <= fanout ALL neighbors are
 taken exactly once (identical); when deg > fanout we sample WITH
@@ -107,12 +111,30 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
 
 
 def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
-                  rng: jax.Array, caps: Sequence[int] | None = None
-                  ) -> SampledBlocks:
-    """Sample L-layer blocks for `seeds` (int32[B], ghost-padded ok)."""
+                  rng: jax.Array, caps: Sequence[int] | None = None,
+                  dedup: bool | None = None) -> SampledBlocks:
+    """Sample L-layer blocks for `seeds` (int32[B], ghost-padded ok).
+
+    Two frontier modes:
+    * dedup=False (default when no caps given): frontiers are plain
+      concatenations `[out_nodes, sampled.flatten()]`, so local indices
+      are pure arithmetic — no sort/unique/searchsorted in the traced
+      graph. Since worst-case caps size the arrays identically either
+      way, dedup would buy nothing; skipping it cut the products-scale
+      compile from 320s to seconds. Duplicated nodes are computed more
+      than once (and weighted by multiplicity in masked batch-norm
+      stats — a documented deviation from DGL's compacted blocks).
+    * dedup=True (default when `caps` are given): sorted-unique capped
+      frontiers; needed when the caller tightens caps below worst case
+      to bound memory, at the cost of sort-heavy compile.
+    """
     fanouts = list(fanouts)
     L = len(fanouts)
     n = g.n_nodes
+    if dedup is None:
+        dedup = caps is not None
+    if not dedup:
+        return _sample_blocks_concat(g, seeds, fanouts, rng)
     if caps is None:
         caps = frontier_caps(seeds.shape[0], fanouts, n)
 
@@ -157,4 +179,43 @@ def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
         self_local=tuple(self_local),
         out_real=tuple(out_real),
         overflowed=overflow,
+    )
+
+
+def _sample_blocks_concat(g: Graph, seeds: jax.Array,
+                          fanouts: list, rng: jax.Array) -> SampledBlocks:
+    """No-dedup frontiers: F_i = [F_{i+1}, sampled_i.flatten()].
+
+    self_local[i] = arange(n_out); nbr_local[i] = n_out + slot index.
+    Ghost nodes sample nothing (valid=False) and gather zero features.
+    """
+    L = len(fanouts)
+    n = g.n_nodes
+    frontier = seeds.astype(jnp.int32)
+
+    nbr_local = [None] * L
+    valids = [None] * L
+    self_local = [None] * L
+    out_real = [None] * L
+
+    for i in range(L - 1, -1, -1):
+        out_nodes = frontier
+        k = fanouts[i]
+        nbr, valid = _sample_one_hop(g, out_nodes, k,
+                                     jax.random.fold_in(rng, i))
+        n_out = out_nodes.shape[0]
+        self_local[i] = jnp.arange(n_out, dtype=jnp.int32)
+        nbr_local[i] = (n_out + jnp.arange(n_out * k, dtype=jnp.int32)
+                        ).reshape(n_out, k)
+        valids[i] = valid
+        out_real[i] = out_nodes < n
+        frontier = jnp.concatenate([out_nodes, nbr.reshape(-1)])
+
+    return SampledBlocks(
+        input_nodes=frontier,
+        nbr_local=tuple(nbr_local),
+        valid=tuple(valids),
+        self_local=tuple(self_local),
+        out_real=tuple(out_real),
+        overflowed=jnp.zeros((), bool),
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from glnn_tpu.sampling.sampler import frontier_caps, sample_blocks
+from glnn_tpu.sampling.sampler import sample_blocks
 from glnn_tpu.train.losses import log_softmax
 from glnn_tpu.train.state import TrainState
 
@@ -32,7 +32,6 @@ def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
         n_train = idx_train.shape[0]
         b = min(batch_size, n_train)
         num_batches = -(-n_train // b)
-        caps = frontier_caps(b, fanouts, n)
 
         perm_rng, samp_rng, drop_rng = jax.random.split(rng, 3)
         perm = jax.random.permutation(perm_rng, n_train)
@@ -49,9 +48,9 @@ def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
         def body(carry, inp):
             params, batch_stats, opt_state, step = carry
             seeds, b_idx = inp
+            # concat-mode (no-dedup) blocks: sort-free tracing/compile
             blocks = sample_blocks(g, seeds, fanouts,
-                                   jax.random.fold_in(samp_rng, b_idx),
-                                   caps=caps)
+                                   jax.random.fold_in(samp_rng, b_idx))
             x_in = jnp.take(x_ext, blocks.input_nodes, axis=0)
             y = jnp.take(labels_ext, seeds)
             mask = (seeds < n).astype(jnp.float32)
