@@ -72,9 +72,18 @@ def main():
     print(json.dumps({"stage": "ingest", "seconds": round(ingest_s, 2),
                       "host_gen_s": round(gen_s, 2)}), flush=True)
 
+    # explicit device transfer stage (the dev relay has ~45s per-array
+    # overhead; on a real TPU host this is PCIe-speed and negligible)
+    t0 = time.perf_counter()
     feats = jnp.asarray(rs.randn(N, F).astype(np.float32))
     labels = jnp.asarray(rs.randint(0, C, N))
     idx_train = jnp.asarray(rs.choice(N, TRAIN, replace=False))
+    g = jax.device_put(g)
+    for leaf in jax.tree_util.tree_leaves((g, feats, labels, idx_train)):
+        _ = float(jnp.asarray(leaf).ravel()[0])
+    print(json.dumps({"stage": "device_transfer",
+                      "seconds": round(time.perf_counter() - t0, 2)}),
+          flush=True)
 
     model = Model(dict(model_name="SAGE", num_layers=3, hidden_dim=256,
                        label_dim=C, dropout_ratio=0.5, norm_type="batch"))

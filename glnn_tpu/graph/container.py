@@ -81,6 +81,24 @@ class Graph:
         return self.senders.shape[0]
 
 
+def _sort_by_dst(dst: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Stable sort permutation by destination. The native O(E) counting
+    sort (native/graphops.cpp) beats numpy's argsort ~10x at
+    ogbn-products scale; numpy is the fallback."""
+    try:
+        from glnn_tpu import native
+
+        if native.available():
+            order = np.empty(dst.shape[0], np.int64)
+            native._load().sort_edges(
+                dst.shape[0], native._p(native._c64(dst)), n_nodes,
+                native._p(order))
+            return order
+    except Exception:
+        pass
+    return np.argsort(dst, kind="stable")
+
+
 def build_graph(
     src: np.ndarray,
     dst: np.ndarray,
@@ -100,7 +118,7 @@ def build_graph(
         raise ValueError("src/dst shape mismatch")
     n_edges = int(src.shape[0])
 
-    order = np.argsort(dst, kind="stable")
+    order = _sort_by_dst(dst, n_nodes)
     src_s = src[order]
     dst_s = dst[order]
     w_s = None if edge_weight is None else np.asarray(edge_weight, np.float32)[order]

@@ -141,3 +141,43 @@ def remove_underrepresented_classes(labels, train_rate, val_rate):
     classes, counts = np.unique(labels, return_counts=True)
     ok = classes[counts * (1.0 - train_rate - val_rate) > 8]
     return np.isin(labels, ok)
+
+
+def create_subgraph(adj, attr, labels, nodes_to_remove=None,
+                    nodes_to_keep=None):
+    """Node-subset subgraph with the reference's argument guards
+    (data_preprocess.py:82-135 contract): exactly one of
+    nodes_to_remove / nodes_to_keep must be given."""
+    if nodes_to_remove is None and nodes_to_keep is None:
+        raise ValueError("Either nodes_to_remove or nodes_to_keep must "
+                         "be provided.")
+    if nodes_to_remove is not None and nodes_to_keep is not None:
+        raise ValueError("Only one of nodes_to_remove or nodes_to_keep "
+                         "must be provided.")
+    if nodes_to_remove is not None:
+        nodes_to_keep = sorted(set(range(adj.shape[0]))
+                               - set(np.asarray(nodes_to_remove).tolist()))
+    else:
+        nodes_to_keep = sorted(np.asarray(nodes_to_keep).tolist())
+    nodes_to_keep = np.asarray(nodes_to_keep)
+    adj = adj[nodes_to_keep][:, nodes_to_keep]
+    if attr is not None:
+        attr = attr[nodes_to_keep]
+    if labels is not None:
+        labels = labels[nodes_to_keep]
+    return adj, attr, labels
+
+
+def to_binary_bag_of_words(features):
+    """Binarize count features (data_preprocess.py helper)."""
+    features = features.copy()
+    if sp.issparse(features):
+        features.data = np.ones_like(features.data)
+        return features
+    return (features > 0).astype(features.dtype)
+
+
+def is_binary_bag_of_words(features):
+    if sp.issparse(features):
+        return bool(((features.data == 0) | (features.data == 1)).all())
+    return bool(((features == 0) | (features == 1)).all())

@@ -22,7 +22,6 @@ from typing import Optional
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from glnn_tpu.graph.container import Graph
 from glnn_tpu.nn import initializers as gi

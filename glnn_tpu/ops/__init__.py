@@ -55,21 +55,24 @@ def copy_u_sum(g, x):
         from glnn_tpu.distributed.halo import halo_copy_u_sum
 
         return halo_copy_u_sum(g, x)
-    if _oversized(g, x):
-        return _ref.copy_u_sum_chunked(g, x)
-    if _use_pallas(g, x):
+    # order matters: the Pallas tier materializes bf16 messages (half
+    # the bytes), so it stays viable well past the f32 chunking cutoff
+    if _use_pallas(g, x) and not _oversized(g, x, itemsize=2):
         from glnn_tpu.ops import spmm_pallas
 
         return spmm_pallas.copy_u_sum(g, x)
+    if _oversized(g, x):
+        return _ref.copy_u_sum_chunked(g, x)
     return _ref.copy_u_sum(g, x)
 
 
-def _oversized(g, x) -> bool:
+def _oversized(g, x, itemsize=None) -> bool:
     """Message tensor (E x F) would blow past the HBM budget -> use the
     chunked streaming path (full-graph inference on ogbn-products)."""
-    return (x.ndim == 2 and
-            g.e_pad * x.shape[-1] * x.dtype.itemsize
-            > _ref.MESSAGE_BUDGET_BYTES)
+    if x.ndim != 2:
+        return False
+    nbytes = itemsize if itemsize is not None else x.dtype.itemsize
+    return g.e_pad * x.shape[-1] * nbytes > _ref.MESSAGE_BUDGET_BYTES
 
 
 def copy_u_mean(g, x):

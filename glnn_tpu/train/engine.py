@@ -30,8 +30,8 @@ by the equivalent full-graph forward.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp
