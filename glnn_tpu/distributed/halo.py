@@ -80,6 +80,13 @@ class HaloGraph:
     def n_pad(self) -> int:
         return self.n_shards * self.rows_per_shard
 
+    @property
+    def e_pad(self) -> int:
+        """Total per-edge slot count in shard layout (local + halo per
+        shard, stacked) — the shape contract for per-edge tensors
+        (attention scores, APPNP dropout masks)."""
+        return self.n_shards * (self.e_local + self.e_halo)
+
 
 def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
                      mesh: Mesh, axis: str = "graph") -> HaloGraph:
@@ -233,3 +240,110 @@ def shard_features(x: np.ndarray, hg: HaloGraph) -> jax.Array:
         x = np.concatenate(
             [x, np.zeros((n_pad - x.shape[0],) + x.shape[1:], x.dtype)])
     return jax.device_put(x, NamedSharding(hg.mesh, P(hg.axis, None)))
+
+
+# --------------------------------------------------------------------
+# Per-edge ops (GAT attention / APPNP edge weights) in shard layout
+# --------------------------------------------------------------------
+# Edge-slot order per shard: [local edges (e_local), halo edges
+# (e_halo)]; ghost slots point at the segment `rows` and are dropped.
+# Because every destination's in-edges are owned by its shard, the
+# edge softmax is a purely shard-local segment softmax.
+
+def _edge_dst(hg: HaloGraph):
+    return jnp.concatenate([hg.local_dst, hg.halo_dst], axis=1)  # [P, Et]
+
+
+def _gather_src_edges(hg: HaloGraph, x: jax.Array) -> jax.Array:
+    """Per-edge source values in shard layout: [P*Et, ...]. x is
+    row-sharded [n_pad, ...]; remote rows arrive via all_to_all."""
+    rows = hg.rows_per_shard
+    ph = hg.n_shards * hg.halo_rows
+
+    def f(x_blk, lsrc, hgat, sidx):
+        x_blk = x_blk[0]                     # [rows, ...]
+        lsrc, hgat, sidx = lsrc[0], hgat[0], sidx[0]
+        feat_shape = x_blk.shape[1:]
+        zero = jnp.zeros((1,) + feat_shape, x_blk.dtype)
+        x_ext = jnp.concatenate([x_blk, zero])
+        local_vals = jnp.take(x_ext, lsrc, axis=0)
+
+        sbuf = jnp.take(x_ext, sidx.reshape(-1), axis=0).reshape(
+            (hg.n_shards, hg.halo_rows) + feat_shape)
+        recv = jax.lax.all_to_all(sbuf, hg.axis, split_axis=0,
+                                  concat_axis=0, tiled=True)
+        recv_flat = jnp.concatenate(
+            [recv.reshape((ph,) + feat_shape), zero])
+        halo_vals = jnp.take(recv_flat, hgat, axis=0)
+        return jnp.concatenate([local_vals, halo_vals], axis=0)[None]
+
+    out = shard_map(
+        f, mesh=hg.mesh,
+        in_specs=(P(hg.axis), P(hg.axis), P(hg.axis), P(hg.axis)),
+        out_specs=P(hg.axis),
+    )(x.reshape((hg.n_shards, rows) + x.shape[1:]),
+      hg.local_src, hg.halo_gather, hg.send_idx)
+    return out.reshape((-1,) + x.shape[1:])
+
+
+def halo_u_add_v(hg: HaloGraph, a_u: jax.Array, a_v: jax.Array) -> jax.Array:
+    """Per-edge a_u[src] + a_v[dst] in shard layout [P*Et, ...]."""
+    rows = hg.rows_per_shard
+    src_vals = _gather_src_edges(hg, a_u)
+
+    def f(av_blk, dst):
+        av_blk = av_blk[0]
+        dst = dst[0]
+        zero = jnp.zeros((1,) + av_blk.shape[1:], av_blk.dtype)
+        av_ext = jnp.concatenate([av_blk, zero])
+        return jnp.take(av_ext, dst, axis=0)[None]
+
+    dst_vals = shard_map(
+        f, mesh=hg.mesh, in_specs=(P(hg.axis), P(hg.axis)),
+        out_specs=P(hg.axis),
+    )(a_v.reshape((hg.n_shards, rows) + a_v.shape[1:]), _edge_dst(hg))
+    return src_vals + dst_vals.reshape(src_vals.shape)
+
+
+def halo_edge_softmax(hg: HaloGraph, scores: jax.Array) -> jax.Array:
+    """Per-dst segment softmax over shard-local edges.
+    scores: [P*Et, ...] in shard layout."""
+    rows = hg.rows_per_shard
+    et = hg.e_local + hg.e_halo
+
+    def f(s_blk, dst):
+        s, dst = s_blk[0], dst[0]
+        seg_max = jax.ops.segment_max(s, dst, num_segments=rows + 1)
+        shifted = s - jnp.take(seg_max, dst, axis=0)
+        expv = jnp.exp(shifted)
+        seg_sum = jax.ops.segment_sum(expv, dst, num_segments=rows + 1)
+        return (expv / jnp.take(seg_sum, dst, axis=0))[None]
+
+    out = shard_map(
+        f, mesh=hg.mesh, in_specs=(P(hg.axis), P(hg.axis)),
+        out_specs=P(hg.axis),
+    )(scores.reshape((hg.n_shards, et) + scores.shape[1:]), _edge_dst(hg))
+    return out.reshape(scores.shape)
+
+
+def halo_u_mul_e_sum(hg: HaloGraph, x: jax.Array, e: jax.Array) -> jax.Array:
+    """Weighted aggregation: sum_e w_e x[src_e] per dst. e in shard
+    layout [P*Et] or [P*Et, H] (broadcast over trailing feature dims)."""
+    rows = hg.rows_per_shard
+    et = hg.e_local + hg.e_halo
+    msgs = _gather_src_edges(hg, x)                  # [P*Et, ...]
+    w = e
+    if w.ndim == msgs.ndim - 1:
+        w = w[..., None]
+    msgs = msgs * w
+
+    def f(m_blk, dst):
+        m, dst = m_blk[0], dst[0]
+        out = jax.ops.segment_sum(m, dst, num_segments=rows + 1)
+        return out[:rows][None]
+
+    out = shard_map(
+        f, mesh=hg.mesh, in_specs=(P(hg.axis), P(hg.axis)),
+        out_specs=P(hg.axis),
+    )(msgs.reshape((hg.n_shards, et) + msgs.shape[1:]), _edge_dst(hg))
+    return out.reshape((hg.n_pad,) + msgs.shape[1:])

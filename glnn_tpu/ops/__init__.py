@@ -13,12 +13,7 @@ Tiers (same API, parity-tested against each other):
 import jax
 
 from glnn_tpu.ops import refops as _ref
-from glnn_tpu.ops.refops import (
-    copy_u_mean as _copy_u_mean_ref,
-    edge_softmax,
-    gather_src,
-    u_add_v,
-)
+from glnn_tpu.ops.refops import gather_src
 
 _BACKEND = "auto"
 
@@ -82,12 +77,27 @@ def copy_u_mean(g, x):
     return s / jnp.maximum(g.in_degrees, 1.0)[:, None]
 
 
+def u_add_v(g, a_u, a_v):
+    if _is_halo(g):
+        from glnn_tpu.distributed.halo import halo_u_add_v
+
+        return halo_u_add_v(g, a_u, a_v)
+    return _ref.u_add_v(g, a_u, a_v)
+
+
+def edge_softmax(g, scores):
+    if _is_halo(g):
+        from glnn_tpu.distributed.halo import halo_edge_softmax
+
+        return halo_edge_softmax(g, scores)
+    return _ref.edge_softmax(g, scores)
+
+
 def u_mul_e_sum(g, x, e):
     if _is_halo(g):
-        raise NotImplementedError(
-            "weighted aggregation on a HaloGraph (sharded GAT/APPNP "
-            "edge-drop) is not implemented yet; train those models "
-            "single-chip or with sage_sampling")
+        from glnn_tpu.distributed.halo import halo_u_mul_e_sum
+
+        return halo_u_mul_e_sum(g, x, e)
     shapes_ok = ((x.ndim == 2 and e.ndim == 1)
                  or (x.ndim == 3 and e.ndim == 2))
     if (shapes_ok and g.plans is not None and _BACKEND != "xla"
