@@ -138,3 +138,22 @@ def largest_connected_component(g: HostGraph) -> np.ndarray:
         return np.arange(g.n_nodes)
     sizes = np.bincount(labels)
     return np.where(labels == sizes.argmax())[0]
+
+
+def rcm_ordering(g: HostGraph) -> np.ndarray:
+    """Reverse-Cuthill-McKee node permutation (old -> position). A
+    locality-preserving relabeling concentrates edges near the diagonal,
+    which tightens the Pallas SpMM's within-tile gather window and cuts
+    halo traffic for contiguous partitions."""
+    perm = sp.csgraph.reverse_cuthill_mckee(g.adj_scipy(), symmetric_mode=False)
+    return np.asarray(perm, np.int64)
+
+
+def reorder_nodes(g: HostGraph, order: np.ndarray) -> HostGraph:
+    """Relabel nodes so new id i == order[i] (features follow)."""
+    order = np.asarray(order, np.int64)
+    new_id = np.empty(g.n_nodes, np.int64)
+    new_id[order] = np.arange(g.n_nodes)
+    out = HostGraph(new_id[g.src], new_id[g.dst], g.n_nodes)
+    out.ndata = {k: v[order] for k, v in g.ndata.items()}
+    return out

@@ -191,3 +191,41 @@ def test_full_appnp_forward_on_halo_graph(mesh8):
         lambda vv, a: model.apply(vv, hg, a, training=False)[1])(v, xs)
     np.testing.assert_allclose(np.asarray(sharded)[: g.n_nodes],
                                np.asarray(single), rtol=1e-4, atol=1e-4)
+
+
+def test_dp_student_epoch_matches_single_device(mesh8):
+    """Data-parallel MLP distillation epoch: identical RNG -> identical
+    losses and parameters whether inputs are replicated or row-sharded
+    over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as SP
+
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import (create_train_state, make_adam,
+                                make_mlp_epoch_fn)
+
+    dmesh = make_mesh(8, axis="data")
+    rs = np.random.RandomState(10)
+    n, f, c = 512, 16, 5
+    feats = rs.randn(n, f).astype(np.float32)
+    labels = rs.randint(0, c, n)
+
+    model = Model(dict(model_name="MLP", num_layers=2, hidden_dim=32,
+                       label_dim=c, dropout_ratio=0.0, norm_type="none"))
+    opt = make_adam(0.01, 0.0)
+    v = model.init(jax.random.PRNGKey(0), None, feats[:2])
+    epoch_fn = make_mlp_epoch_fn(model, opt, batch_size=64, criterion="nll")
+
+    s1 = create_train_state(v, opt)
+    s1, l1 = epoch_fn(s1, jnp.asarray(feats), jnp.asarray(labels),
+                      jax.random.PRNGKey(3))
+
+    s2 = create_train_state(v, opt)
+    feats_dp = jax.device_put(feats, NamedSharding(dmesh, SP("data", None)))
+    labels_dp = jax.device_put(labels, NamedSharding(dmesh, SP("data")))
+    s2, l2 = epoch_fn(s2, feats_dp, labels_dp, jax.random.PRNGKey(3))
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -98,3 +98,20 @@ def test_binarize_labels():
     out = gsp.binarize_labels(np.array([2, 0, 2, 5]))
     assert out.shape == (4, 3)
     np.testing.assert_array_equal(out.argmax(1), [1, 0, 1, 2])
+
+
+def test_rcm_reorder_preserves_structure():
+    from glnn_tpu.graph.host import rcm_ordering, reorder_nodes
+
+    rs = np.random.RandomState(3)
+    g = HostGraph(rs.randint(0, 40, 200), rs.randint(0, 40, 200), 40)
+    g.ndata["feat"] = rs.randn(40, 4).astype(np.float32)
+    order = rcm_ordering(g)
+    assert sorted(order.tolist()) == list(range(40))
+    g2 = reorder_nodes(g, order)
+    # degree multiset preserved; feature rows follow their nodes
+    assert sorted(g.in_degrees().tolist()) == sorted(g2.in_degrees().tolist())
+    new_id = np.empty(40, np.int64)
+    new_id[order] = np.arange(40)
+    np.testing.assert_allclose(g2.ndata["feat"][new_id[5]],
+                               g.ndata["feat"][5])
