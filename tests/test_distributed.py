@@ -229,3 +229,108 @@ def test_dp_student_epoch_matches_single_device(mesh8):
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------
+# Distributed neighbor-sampled training (distributed/sampling.py)
+# ---------------------------------------------------------------------
+
+def test_fetch_rows_matches_local_gather(mesh8):
+    """Two-all_to_all distributed row gather == plain x[idx], ghosts
+    (idx >= n_pad) fetch zeros."""
+    from glnn_tpu.distributed.sampling import fetch_rows, shard_rows
+
+    rs = np.random.RandomState(3)
+    n, f, c = 203, 12, 37
+    x = rs.randn(n, f).astype(np.float32)
+    x_sh = shard_rows(mesh8, "graph", x)
+    n_pad = x_sh.shape[0]
+
+    idx = rs.randint(0, n_pad + 2, (8, c))           # some ghosts
+    got = np.asarray(fetch_rows(mesh8, "graph", x_sh, jnp.asarray(idx)))
+
+    x_pad = np.zeros((n_pad + 2, f), np.float32)
+    x_pad[:n] = x
+    want = x_pad[np.minimum(idx, n_pad)]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_dp_sampled_sage_epoch_takeall_matches_single_device(mesh8):
+    """With fanouts >= max in-degree sampling is deterministic
+    (take-all), so the data-parallel sampled epoch must reproduce the
+    single-device sampled epoch exactly: same shuffle rng, same global
+    masked-mean loss, same Adam trajectory."""
+    from glnn_tpu.distributed.sampling import (
+        make_dp_sampled_sage_epoch_fn, shard_rows)
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import create_train_state, make_adam
+    from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
+
+    dmesh = make_mesh(8, axis="dp")
+    rs = np.random.RandomState(11)
+    n, e, f, c = 257, 900, 16, 5
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    g = build_graph(src, dst, n)
+    max_deg = int(np.bincount(np.asarray(dst), minlength=n).max())
+    feats = rs.randn(n, f).astype(np.float32)
+    labels = rs.randint(0, c, n)
+    idx_train = np.sort(rs.choice(n, 150, replace=False))
+
+    model = Model(dict(model_name="SAGE", num_layers=2, hidden_dim=32,
+                       label_dim=c, dropout_ratio=0.0, norm_type="none"))
+    opt = make_adam(0.01, 0.0)
+    v = model.init(jax.random.PRNGKey(0), g, jnp.asarray(feats))
+
+    fanouts = (max_deg, max_deg)
+    b = 64                                            # divisible by 8
+
+    s1 = create_train_state(v, opt)
+    ep1 = make_sage_sampled_epoch_fn(model, opt, b, fanouts)
+    s1, l1, _ = ep1(s1, g, jnp.asarray(feats), jnp.asarray(labels),
+                    jnp.asarray(idx_train), jax.random.PRNGKey(7))
+
+    s2 = create_train_state(v, opt)
+    ep2 = make_dp_sampled_sage_epoch_fn(model, opt, b, fanouts, dmesh,
+                                        axis="dp")
+    x_sh = shard_rows(dmesh, "dp", feats)
+    s2, l2, ovf = ep2(s2, g, x_sh, jnp.asarray(labels),
+                      jnp.asarray(idx_train), jax.random.PRNGKey(7))
+
+    assert not bool(ovf)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b2 in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_dp_sampled_sage_epoch_batchnorm_runs(mesh8):
+    """Sampled DP epoch with batch-norm (per-device stats, pmean'd):
+    runs, finite loss, params and stats stay replicated-consistent."""
+    from glnn_tpu.distributed.sampling import (
+        make_dp_sampled_sage_epoch_fn, shard_rows)
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import create_train_state, make_adam
+
+    dmesh = make_mesh(8, axis="dp")
+    rs = np.random.RandomState(12)
+    n, e, f, c = 300, 1800, 16, 4
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    g = build_graph(src, dst, n)
+    feats = rs.randn(n, f).astype(np.float32)
+    labels = rs.randint(0, c, n)
+    idx_train = np.sort(rs.choice(n, 120, replace=False))
+
+    model = Model(dict(model_name="SAGE", num_layers=2, hidden_dim=32,
+                       label_dim=c, dropout_ratio=0.3, norm_type="batch"))
+    opt = make_adam(0.01, 0.0)
+    v = model.init(jax.random.PRNGKey(0), g, jnp.asarray(feats))
+    st = create_train_state(v, opt)
+
+    ep = make_dp_sampled_sage_epoch_fn(model, opt, 40, (3, 5), dmesh,
+                                       axis="dp")
+    x_sh = shard_rows(dmesh, "dp", feats)
+    st, loss, _ = ep(st, g, x_sh, jnp.asarray(labels),
+                     jnp.asarray(idx_train), jax.random.PRNGKey(9))
+    assert np.isfinite(float(loss))
+    assert int(st.step) == 3                          # ceil(120/40) batches
