@@ -104,16 +104,32 @@ def main():
             return h.sum()
         return f
 
-    def spmm_time(op):
-        t1 = time_scalar(chain(op, 1), g, x, iters=3)
-        t6 = time_scalar(chain(op, 6), g, x, iters=3)
-        return max((t6 - t1) / 5, 1e-9)
+    def spmm_time(op, repeats=3):
+        # tunnel latency jitter is ~+-10%; take the min of repeated
+        # chain-of-k measurements (compiles are cached after the first)
+        c1, c6 = chain(op, 1), chain(op, 6)
+        best = float("inf")
+        for _ in range(repeats):
+            t1 = time_scalar(c1, g, x, iters=3)
+            t6 = time_scalar(c6, g, x, iters=3)
+            best = min(best, (t6 - t1) / 5)
+        return max(best, 1e-9)
+
+    def out_of_time():
+        return time.monotonic() - start > DEADLINE_S
 
     _stage("graph+plans built", start)
     dt = spmm_time(ops.copy_u_sum)          # pallas on TPU, xla on CPU
     _stage(f"pallas spmm {dt*1e3:.1f} ms", start)
-    dt_xla = spmm_time(refops.copy_u_sum)
-    _stage(f"xla spmm {dt_xla*1e3:.1f} ms", start)
+    dt_xla = None
+    if not out_of_time():
+        dt_xla = spmm_time(refops.copy_u_sum)
+        _stage(f"xla spmm {dt_xla*1e3:.1f} ms", start)
+    dt_i8 = None
+    if jax.default_backend() == "tpu" and not out_of_time():
+        from glnn_tpu.ops import spmm_pallas
+        dt_i8 = spmm_time(spmm_pallas.copy_u_sum_int8)
+        _stage(f"int8 spmm {dt_i8*1e3:.1f} ms", start)
     edges_per_s = e / dt
 
     bw = detect_bw()
@@ -137,17 +153,15 @@ def main():
     extras = {
         "graph": f"synthetic arxiv-scale N={N} E={e} F={F}",
         "spmm_ms": round(dt * 1e3, 3),
-        "spmm_xla_ms": round(dt_xla * 1e3, 3),
-        "speedup_vs_xla": round(dt_xla / dt, 2),
+        "spmm_int8_ms": round(dt_i8 * 1e3, 3) if dt_i8 else None,
+        "spmm_xla_ms": round(dt_xla * 1e3, 3) if dt_xla else None,
+        "speedup_vs_xla": round(dt_xla / dt, 2) if dt_xla else None,
         "roofline_edges_per_s": round(roofline, 1),
         "rpc_floor_ms": round(rpc * 1e3, 3),
         "device": jax.devices()[0].device_kind,
         "ops_backend": ("pallas" if jax.default_backend() == "tpu"
                         else "xla"),
     }
-
-    def out_of_time():
-        return time.monotonic() - start > DEADLINE_S
 
     # extras are best-effort: the headline line must print regardless
     try:

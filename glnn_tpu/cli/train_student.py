@@ -55,6 +55,9 @@ def run(args):
     if args.device < 0:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "ops_backend", "auto") != "auto":
+        from glnn_tpu import ops
+        ops.set_backend(args.ops_backend)
 
     apply_output_path_reroutes(args, is_student=True)
 

@@ -47,6 +47,9 @@ def run(args):
     if args.device < 0:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "ops_backend", "auto") != "auto":
+        from glnn_tpu import ops
+        ops.set_backend(args.ops_backend)
 
     apply_output_path_reroutes(args)
     output_dir = teacher_output_dir(args, args.teacher)

@@ -61,7 +61,7 @@ class Graph:
     # tier (ops/spmm_plan.py); None keeps the pure-XLA path.
     plans: tuple | None = None
 
-    def with_plans(self, tile: int = 1024, block_rows: int = 256) -> "Graph":
+    def with_plans(self, tile: int = 1024, block_rows: int = 512) -> "Graph":
         from glnn_tpu.ops.spmm_plan import plan_for_graph
 
         return dataclasses.replace(self, plans=plan_for_graph(

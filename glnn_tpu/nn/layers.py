@@ -55,11 +55,20 @@ class SAGEConvGCN(nn.Module):
         else:
             nbr, valid, self_local = (data["nbr_local"], data["valid"],
                                       data["self_local"])
-            gathered = jnp.take(x, nbr, axis=0)          # [V, K, F]
+            if data.get("concat"):
+                # concat-mode blocks (sampler default): nbr_local is
+                # n_out + arange(n_out*K) and self_local is arange —
+                # static slices, no gather materialization at all
+                n_out, k = valid.shape
+                gathered = x[n_out:n_out + n_out * k].reshape(
+                    n_out, k, x.shape[-1])
+                h_self = x[:n_out]
+            else:
+                gathered = jnp.take(x, nbr, axis=0)      # [V, K, F]
+                h_self = jnp.take(x, self_local, axis=0)
             mask = valid[..., None].astype(x.dtype)
             neigh = jnp.sum(gathered * mask, axis=1)
             deg = jnp.sum(valid, axis=1).astype(x.dtype)
-            h_self = jnp.take(x, self_local, axis=0)
             h = (neigh + h_self) / (deg[:, None] + 1.0)
         return nn.Dense(
             self.out_dim,

@@ -88,7 +88,8 @@ class SAGE(nn.Module):
             out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
             if blocks:
                 data = {"nbr_local": g.nbr_local[l], "valid": g.valid[l],
-                        "self_local": g.self_local[l]}
+                        "self_local": g.self_local[l],
+                        "concat": g.concat}
                 mask = g.out_real[l]
             else:
                 data, mask = g, None

@@ -19,8 +19,12 @@ _BACKEND = "auto"
 
 
 def set_backend(name: str) -> None:
+    """"auto" | "xla" | "pallas" | "pallas_int8" (quantized unweighted
+    aggregation — per-column int8 messages, exact int32 MXU reduce,
+    ~1% feature quantization error; weighted/attention ops stay on the
+    bf16 tier)."""
     global _BACKEND
-    if name not in ("auto", "xla", "pallas"):
+    if name not in ("auto", "xla", "pallas", "pallas_int8"):
         raise ValueError(f"unknown ops backend {name!r}")
     _BACKEND = name
 
@@ -40,7 +44,7 @@ def _use_pallas(g, x) -> bool:
         return False
     if g.plans is None or x.ndim != 2:
         return False
-    if _BACKEND == "pallas":
+    if _BACKEND in ("pallas", "pallas_int8"):
         return True
     return jax.default_backend() == "tpu"
 
@@ -55,6 +59,8 @@ def copy_u_sum(g, x):
     if _use_pallas(g, x) and not _oversized(g, x, itemsize=2):
         from glnn_tpu.ops import spmm_pallas
 
+        if _BACKEND == "pallas_int8":
+            return spmm_pallas.copy_u_sum_int8(g, x)
         return spmm_pallas.copy_u_sum(g, x)
     if _oversized(g, x):
         return _ref.copy_u_sum_chunked(g, x)

@@ -12,10 +12,21 @@ at memory speed. Padding slots carry rec_local == block_rows, matching
 no one-hot row, so they contribute exact zeros.
 
 The public ops (`copy_u_sum` / `u_mul_e_sum`) gather messages with one
-XLA `jnp.take` (the gather runs at ~343 GB/s effective; a fully fused
-in-kernel gather is a later tier) and run the reduction here. Both are
-linear, so the custom VJP reuses the kernel on the transposed plan:
-dX = A^T dH.
+XLA `jnp.take` and run the reduction here. Both are linear, so the
+custom VJP reuses the kernel on the transposed plan: dX = A^T dH.
+
+Performance anatomy (measured on v5e, arxiv-scale E=2.37M F=256,
+tools/probe_gather.py + tools/sweep_spmm.py): the bound is the XLA row
+gather, which sustains a flat ~135 GB/s — independent of index
+locality, sortedness, and row size (bf16 512B vs f32 1KB rows move the
+same bytes/s), while sequential streams hit ~650 GB/s on the same
+chip. The reduction kernel itself absorbs messages at >600 GB/s with
+~3ms of MXU work at block_rows=512. Hence bf16 messages (halve the
+gathered bytes) and plan tuning that minimizes padded slots are the
+levers that matter; an in-kernel DMA gather is NOT viable (per-row
+descriptor issue is scalar-core-bound, ~50cy/row ≈ 100ms/2.4M rows).
+A int8-quantized gather tier (per-row scales, dequant in VMEM) is the
+remaining ~1.6x and is left as an opt-in follow-up.
 """
 
 from __future__ import annotations
@@ -45,16 +56,19 @@ def _kernel(block_id_ref, rec_local_ref, m_ref, out_ref):
     # (s // 128, s % 128). One partial matmul per 128-slot row keeps
     # every operand in a native (sublane, lane) layout — no reshapes.
     # The one-hot is exact in bf16, so with bf16 messages the MXU
-    # accumulates exact f32 sums of bf16-rounded inputs.
+    # accumulates exact f32 sums of bf16-rounded inputs. With int8
+    # messages (quantized tier) the one-hot is int8 and the MXU
+    # accumulates EXACT int32 sums.
     r_rows = rec_local_ref.shape[1]
     mdt = m_ref.dtype
-    contrib = jnp.zeros((d, fb), jnp.float32)
+    acc_t = out_ref.dtype
+    contrib = jnp.zeros((d, fb), acc_t)
     for r in range(r_rows):
         rec_r = rec_local_ref[0, r, :]             # [128]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 0)
         one_hot = (row_ids == rec_r[None, :]).astype(mdt)
         contrib += jnp.dot(one_hot, m_ref[r * 128 : (r + 1) * 128, :],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=acc_t)
 
     @pl.when(is_first)
     def _():
@@ -91,12 +105,13 @@ def segment_reduce(plan: SpmmPlan, messages: jax.Array,
         out_specs=pl.BlockSpec((d, fb), lambda j, t, bid: (bid[t], j),
                                memory_space=pltpu.VMEM),
     )
+    acc_dtype = jnp.int32 if messages.dtype == jnp.int8 else jnp.float32
     flops = 2 * plan.num_tiles * d * t_sz * f_pad
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.num_blocks * d, f_pad),
-                                       jnp.float32),
+                                       acc_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=int(messages.size * 4 + plan.num_blocks * d * f_pad * 4),
@@ -229,6 +244,58 @@ def _spmm_weighted_bwd(n_nodes, res, dh):
 
 
 _spmm_weighted.defvjp(_spmm_weighted_fwd, _spmm_weighted_bwd)
+
+
+# --------------------------------------------------------------------
+# int8-quantized tier: the pipeline is gather-BYTES-bound (see module
+# docstring), so per-COLUMN int8 quantization halves the dominant
+# random-read traffic. Column scales commute with the reduction —
+#   sum_u q[u, f] * s[f] == s[f] * sum_u q[u, f]
+# — so dequantization is one multiply AFTER the exact int32 MXU
+# accumulation; no per-row scale gather is needed. Quantization error
+# is ~max_col/254 per element (per-column absmax), i.e. ~1% of sigma
+# on gaussian-ish feature columns; opt in via ops.set_backend
+# ("pallas_int8"). Backward is straight-through: dX = A^T dH on the
+# exact bf16 kernel.
+# --------------------------------------------------------------------
+
+
+def _quantize_cols(x: jax.Array):
+    s = jnp.max(jnp.abs(x), axis=0) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(x / s[None, :]), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spmm_int8(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan, x: jax.Array,
+               n_nodes: int) -> jax.Array:
+    q, s = _quantize_cols(x)
+    q_ext = jnp.concatenate([q, jnp.zeros((1, q.shape[1]), jnp.int8)],
+                            axis=0)
+    m = jnp.take(q_ext, plan_fwd.src_idx, axis=0)
+    out = segment_reduce(plan_fwd, m)[:n_nodes]
+    return (out.astype(jnp.float32) * s[None, :]).astype(x.dtype)
+
+
+def _spmm_int8_fwd(plan_fwd, plan_bwd, x, n_nodes):
+    return _spmm_int8(plan_fwd, plan_bwd, x, n_nodes), (plan_fwd, plan_bwd)
+
+
+def _spmm_int8_bwd(n_nodes, res, dh):
+    plan_fwd, plan_bwd = res
+    dx = segment_reduce(plan_bwd, _gather_messages(plan_bwd, dh))[:n_nodes]
+    return None, None, dx.astype(dh.dtype)
+
+
+_spmm_int8.defvjp(_spmm_int8_fwd, _spmm_int8_bwd)
+
+
+def copy_u_sum_int8(g: Graph, x: jax.Array) -> jax.Array:
+    """Quantized-gather H[v] = sum over in-neighbors of x. ~1.6x the
+    bf16 tier on v5e (gather bytes halved); per-column int8 error."""
+    plan_fwd, plan_bwd = g.plans
+    return _spmm_int8(plan_fwd, plan_bwd, x, g.n_nodes)
 
 
 def u_mul_e_sum(g: Graph, x: jax.Array, e: jax.Array) -> jax.Array:

@@ -64,8 +64,17 @@ class SpmmPlan:
 
 def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
                     n_nodes: int, tile: int = 1024,
-                    block_rows: int = 256) -> SpmmPlan:
-    """Plan over dst-sorted (receivers, senders) of real edges only."""
+                    block_rows: int = 512) -> SpmmPlan:
+    """Plan over dst-sorted (receivers, senders) of real edges only.
+
+    Defaults (tile=1024, block_rows=512) won a v5e sweep
+    (tools/sweep_spmm.py): the pipeline is gather-bound, so padded
+    slots (which inflate gathered bytes) dominate the tradeoff —
+    expected pad fraction is ~tile/(2*block_rows*avg_deg) — while
+    block_rows only adds MXU flops (2*block_rows*F per slot), cheap
+    until ~512. Smaller tiles cut padding but add per-grid-step
+    overhead (~1us/step).
+    """
     rec = np.asarray(receivers, np.int64)
     snd = np.asarray(senders, np.int64)
     n_edges = rec.shape[0]
@@ -122,7 +131,7 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
     )
 
 
-def plan_for_graph(g, tile: int = 1024, block_rows: int = 256):
+def plan_for_graph(g, tile: int = 1024, block_rows: int = 512):
     """(forward, backward) plans for a Graph container. Forward reduces
     over dst; backward reduces over src (for dX = A^T dH), with
     edge_perm composed back into the original dst-sorted edge order."""

@@ -48,7 +48,7 @@ from glnn_tpu.graph.container import Graph
     jax.tree_util.register_dataclass,
     data_fields=["input_nodes", "nbr_local", "valid", "self_local",
                  "out_real", "overflowed"],
-    meta_fields=[],
+    meta_fields=["concat"],
 )
 @dataclasses.dataclass(frozen=True)
 class SampledBlocks:
@@ -71,6 +71,9 @@ class SampledBlocks:
     self_local: tuple
     out_real: tuple
     overflowed: jax.Array
+    # static marker: frontiers are plain concatenations, so per-layer
+    # neighbor "gathers" are really reshaped slices (see SAGEConvGCN)
+    concat: bool = False
 
 
 def frontier_caps(batch_size: int, fanouts: Sequence[int],
@@ -218,4 +221,5 @@ def _sample_blocks_concat(g: Graph, seeds: jax.Array,
         self_local=tuple(self_local),
         out_real=tuple(out_real),
         overflowed=jnp.zeros((), bool),
+        concat=True,
     )

@@ -201,3 +201,38 @@ def test_weighted_multihead_vjp():
     np.testing.assert_allclose(gx_p, gx_r, rtol=2e-2, atol=5e-2)
     np.testing.assert_allclose(ga_p[: g.n_edges], ga_r[: g.n_edges],
                                rtol=2e-2, atol=5e-2)
+
+
+def _pallas_sum_int8(g, x):
+    pf, _ = g.plans
+    q, s = sp._quantize_cols(x)
+    q_ext = jnp.concatenate([q, jnp.zeros((1, q.shape[1]), jnp.int8)])
+    m = jnp.take(q_ext, pf.src_idx, axis=0)
+    out = sp.segment_reduce(pf, m, interpret=True)[: g.n_nodes]
+    return out.astype(jnp.float32) * s[None, :]
+
+
+def test_int8_tier_exact_on_integer_features():
+    """With integer features whose column absmax is exactly 127 the
+    per-column scale is 1 and the quantized tier is EXACT (int32 MXU
+    accumulation)."""
+    g = _graph(seed=5).with_plans()
+    rs = np.random.RandomState(2)
+    x = rs.randint(-127, 128, (g.n_nodes, 32)).astype(np.float32)
+    x[0, :] = 127                       # pin the column absmax
+    got = np.asarray(_pallas_sum_int8(g, jnp.asarray(x)))
+    want = np.asarray(refops.copy_u_sum(g, jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_tier_close_on_floats():
+    """Per-column absmax quantization: bounded elementwise error
+    (<= max_col/254 per message, summed over in-degree)."""
+    g = _graph(seed=6).with_plans()
+    rs = np.random.RandomState(3)
+    x = rs.randn(g.n_nodes, 48).astype(np.float32)
+    got = np.asarray(_pallas_sum_int8(g, jnp.asarray(x)))
+    want = np.asarray(refops.copy_u_sum(g, jnp.asarray(x)))
+    deg = np.asarray(g.in_degrees)[:, None]
+    bound = (np.abs(x).max(axis=0) / 254.0)[None, :] * np.maximum(deg, 1)
+    assert (np.abs(got - want) <= bound + 1e-5).all()
