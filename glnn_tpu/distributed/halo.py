@@ -37,7 +37,7 @@ from jax import shard_map
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["local_src", "local_dst", "halo_gather", "halo_dst",
-                 "send_idx", "in_degrees", "out_degrees"],
+                 "send_idx", "in_degrees", "out_degrees", "plans"],
     meta_fields=["n_nodes", "n_shards", "rows_per_shard", "e_local",
                  "e_halo", "halo_rows", "axis", "mesh"],
 )
@@ -64,6 +64,11 @@ class HaloGraph:
     send_idx: jax.Array
     in_degrees: jax.Array
     out_degrees: jax.Array
+    # optional Pallas tier: (local_fwd, local_bwd, halo_fwd, halo_bwd)
+    # SpmmPlans whose data fields are stacked on a leading shard axis
+    # (build_halo_graph(build_plans=True)); None -> XLA segment sums.
+    # Also duck-types the single-device Graph surface the layers touch.
+    plans: tuple | None
     n_nodes: int
     n_shards: int
     rows_per_shard: int
@@ -72,9 +77,6 @@ class HaloGraph:
     halo_rows: int
     axis: str
     mesh: Mesh
-
-    # duck-typing the single-device Graph surface the layers touch
-    plans = None
 
     @property
     def n_pad(self) -> int:
@@ -89,7 +91,9 @@ class HaloGraph:
 
 
 def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
-                     mesh: Mesh, axis: str = "graph") -> HaloGraph:
+                     mesh: Mesh, axis: str = "graph",
+                     build_plans: bool = False, plan_tile: int = 1024,
+                     plan_block_rows: int = 512) -> HaloGraph:
     n_shards = mesh.shape[axis]
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -164,7 +168,32 @@ def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
     np.add.at(ind, dst, 1.0)
     np.add.at(outd, src, 1.0)
 
+    plans = None
+    if build_plans:
+        from glnn_tpu.ops.spmm_plan import plan_pair_for_edges, stack_plans
+
+        ph = n_shards * h_max
+        lf, lb, hf, hb = [], [], [], []
+        for p_i in range(n_shards):
+            # pad slots (src = dst = rows) are real plan entries that
+            # gather each matrix's ghost row -> exact zeros
+            f, b = plan_pair_for_edges(local_src[p_i], local_dst[p_i],
+                                       n_dst=rows + 1, n_src=rows,
+                                       n_out=rows, tile=plan_tile,
+                                       block_rows=plan_block_rows)
+            lf.append(f)
+            lb.append(b)
+            f, b = plan_pair_for_edges(halo_gather[p_i], halo_dst[p_i],
+                                       n_dst=rows + 1, n_src=ph,
+                                       n_out=rows, tile=plan_tile,
+                                       block_rows=plan_block_rows)
+            hf.append(f)
+            hb.append(b)
+        plans = (stack_plans(lf, n_src=rows), stack_plans(lb, n_src=rows),
+                 stack_plans(hf, n_src=ph), stack_plans(hb, n_src=rows))
+
     return HaloGraph(
+        plans=plans,
         local_src=jnp.asarray(local_src),
         local_dst=jnp.asarray(local_dst),
         halo_gather=jnp.asarray(halo_gather),
@@ -183,11 +212,11 @@ def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
     )
 
 
-def _shard_kernel(hg: HaloGraph):
+def _shard_kernel(hg: HaloGraph, use_plans: bool):
     rows = hg.rows_per_shard
     ph = hg.n_shards * hg.halo_rows
 
-    def f(x_blk, lsrc, ldst, hgat, hdst, sidx):
+    def f(x_blk, lsrc, ldst, hgat, hdst, sidx, *plan_args):
         x_blk = x_blk.reshape(rows, -1)
         lsrc, ldst = lsrc[0], ldst[0]
         hgat, hdst = hgat[0], hdst[0]
@@ -195,22 +224,34 @@ def _shard_kernel(hg: HaloGraph):
         fdim = x_blk.shape[1]
         x_ext = jnp.concatenate([x_blk, jnp.zeros((1, fdim), x_blk.dtype)])
 
-        # local partial (independent of the collective -> overlap)
-        msgs_l = jnp.take(x_ext, lsrc, axis=0)
-        part_l = jax.ops.segment_sum(msgs_l, ldst, num_segments=rows + 1,
-                                     indices_are_sorted=False)[:rows]
+        if use_plans:
+            from glnn_tpu.ops.spmm_pallas import spmm_rect
+            from glnn_tpu.ops.spmm_plan import shard_slice_plan
+
+            lf, lb, hf, hb = [shard_slice_plan(pl) for pl in plan_args]
+            # local partial (independent of the collective -> overlap)
+            part_l = spmm_rect(lf, lb, x_blk, rows, rows)
+        else:
+            msgs_l = jnp.take(x_ext, lsrc, axis=0)
+            part_l = jax.ops.segment_sum(
+                msgs_l, ldst, num_segments=rows + 1,
+                indices_are_sorted=False)[:rows]
 
         # exchange halo rows
         sbuf = jnp.take(x_ext, sidx.reshape(-1), axis=0).reshape(
             hg.n_shards, hg.halo_rows, fdim)
         recv = jax.lax.all_to_all(sbuf, hg.axis, split_axis=0,
                                   concat_axis=0, tiled=True)
-        recv_flat = jnp.concatenate(
-            [recv.reshape(ph, fdim), jnp.zeros((1, fdim), x_blk.dtype)])
 
-        msgs_h = jnp.take(recv_flat, hgat, axis=0)
-        part_h = jax.ops.segment_sum(msgs_h, hdst, num_segments=rows + 1,
-                                     indices_are_sorted=False)[:rows]
+        if use_plans:
+            part_h = spmm_rect(hf, hb, recv.reshape(ph, fdim), rows, ph)
+        else:
+            recv_flat = jnp.concatenate(
+                [recv.reshape(ph, fdim), jnp.zeros((1, fdim), x_blk.dtype)])
+            msgs_h = jnp.take(recv_flat, hgat, axis=0)
+            part_h = jax.ops.segment_sum(
+                msgs_h, hdst, num_segments=rows + 1,
+                indices_are_sorted=False)[:rows]
         return part_l + part_h
 
     return f
@@ -218,18 +259,36 @@ def _shard_kernel(hg: HaloGraph):
 
 def halo_copy_u_sum(hg: HaloGraph, x: jax.Array) -> jax.Array:
     """x: [n_pad, F] row-sharded over mesh axis -> same shape/sharding.
-    Rows >= n_nodes are ghosts and receive zero."""
+    Rows >= n_nodes are ghosts and receive zero.
+
+    When the graph carries per-shard plans
+    (build_halo_graph(build_plans=True)) and the ops backend is not
+    forced to "xla", both shard-local reductions run on the Pallas MXU
+    kernel (spmm_rect, differentiable); otherwise XLA segment sums."""
+    from glnn_tpu import ops as _ops
+
     ax = hg.axis
     spec_rows = P(ax, None)
     spec_shard = P(ax)
-    f = _shard_kernel(hg)
+    use_plans = hg.plans is not None and _ops.get_backend() != "xla"
+    f = _shard_kernel(hg, use_plans)
+    args = (x, hg.local_src, hg.local_dst, hg.halo_gather, hg.halo_dst,
+            hg.send_idx)
+    specs = [spec_rows] + [spec_shard] * 5
+    if use_plans:
+        args = args + hg.plans
+        specs = specs + [spec_shard] * 4     # pytree-prefix per SpmmPlan
+        # pallas_call's out_shape carries no varying-mesh-axes info, so
+        # the vma checker cannot see through it
+        return shard_map(
+            f, mesh=hg.mesh, in_specs=tuple(specs), out_specs=spec_rows,
+            check_vma=False,
+        )(*args)
     return shard_map(
         f, mesh=hg.mesh,
-        in_specs=(spec_rows, spec_shard, spec_shard, spec_shard, spec_shard,
-                  spec_shard),
+        in_specs=tuple(specs),
         out_specs=spec_rows,
-    )(x, hg.local_src, hg.local_dst, hg.halo_gather, hg.halo_dst,
-      hg.send_idx)
+    )(*args)
 
 
 def shard_features(x: np.ndarray, hg: HaloGraph) -> jax.Array:

@@ -80,9 +80,14 @@ def _kernel(block_id_ref, rec_local_ref, m_ref, out_ref):
 
 
 def segment_reduce(plan: SpmmPlan, messages: jax.Array,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool | None = None) -> jax.Array:
     """messages: [num_tiles*tile, F] planned message rows ->
-    [num_blocks*block_rows, F] block-padded output."""
+    [num_blocks*block_rows, F] block-padded output.
+
+    interpret=None auto-selects interpreter mode off-TPU, so forced
+    pallas backends remain runnable (slowly) in CPU tests."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     t_sz, d = plan.tile, plan.block_rows
     f = messages.shape[1]
     f_pad = -(-f // 128) * 128
@@ -244,6 +249,34 @@ def _spmm_weighted_bwd(n_nodes, res, dh):
 
 
 _spmm_weighted.defvjp(_spmm_weighted_fwd, _spmm_weighted_bwd)
+
+
+# --------------------------------------------------------------------
+# Rectangular reduction (sharded halo aggregation): sources index an
+# n_in-row matrix (a feature block or a halo recv buffer), outputs
+# cover n_out rows. Differentiable via the transposed plan.
+# --------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spmm_rect(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan, x: jax.Array,
+              n_out: int, n_in: int) -> jax.Array:
+    out = segment_reduce(plan_fwd, _gather_messages(plan_fwd, x))[:n_out]
+    return out.astype(x.dtype)
+
+
+def _rect_fwd(plan_fwd, plan_bwd, x, n_out, n_in):
+    return spmm_rect(plan_fwd, plan_bwd, x, n_out, n_in), (plan_fwd,
+                                                           plan_bwd)
+
+
+def _rect_bwd(n_out, n_in, res, dh):
+    plan_fwd, plan_bwd = res
+    dx = segment_reduce(plan_bwd, _gather_messages(plan_bwd, dh))[:n_in]
+    return None, None, dx.astype(dh.dtype)
+
+
+spmm_rect.defvjp(_rect_fwd, _rect_bwd)
 
 
 # --------------------------------------------------------------------

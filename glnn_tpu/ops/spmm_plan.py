@@ -64,8 +64,13 @@ class SpmmPlan:
 
 def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
                     n_nodes: int, tile: int = 1024,
-                    block_rows: int = 512) -> SpmmPlan:
+                    block_rows: int = 512,
+                    n_src: int | None = None) -> SpmmPlan:
     """Plan over dst-sorted (receivers, senders) of real edges only.
+
+    `n_src` (default n_nodes) sets the ghost source-row id for
+    rectangular reductions (sharded halo aggregation, where senders
+    index a recv buffer and receivers index local rows).
 
     Defaults (tile=1024, block_rows=512) won a v5e sweep
     (tools/sweep_spmm.py): the pipeline is gather-bound, so padded
@@ -77,6 +82,8 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
     """
     rec = np.asarray(receivers, np.int64)
     snd = np.asarray(senders, np.int64)
+    if n_src is None:
+        n_src = n_nodes
     n_edges = rec.shape[0]
     if n_edges > 1 and (np.diff(rec) < 0).any():
         raise ValueError("receivers must be dst-sorted")
@@ -101,7 +108,7 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
     valid = edge_idx < ends[tile_block, None]
     edge_idx_c = np.minimum(edge_idx, n_edges - 1 if n_edges else 0)
 
-    src_idx = np.where(valid, snd[edge_idx_c], n_nodes).astype(np.int32)
+    src_idx = np.where(valid, snd[edge_idx_c], n_src).astype(np.int32)
     edge_perm = np.where(valid, edge_idx_c, n_edges).astype(np.int32)
     rec_local = np.where(
         valid, rec[edge_idx_c] - tile_block[:, None] * block_rows, block_rows
@@ -129,6 +136,82 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
         num_tiles=num_tiles,
         e_orig=int(n_edges),
     )
+
+
+def pad_plan_tiles(plan: SpmmPlan, num_tiles: int, n_src: int) -> SpmmPlan:
+    """Append ghost tiles so per-shard plans stack uniformly. Ghost
+    tiles keep block_id nondecreasing (repeat the last block), match
+    no one-hot row (rec_local = block_rows) and gather the ghost
+    source row — exact zero contributions."""
+    extra = num_tiles - plan.num_tiles
+    if extra <= 0:
+        return plan
+    t = plan.tile
+    src_idx = jnp.concatenate(
+        [plan.src_idx, jnp.full((extra * t,), n_src, jnp.int32)])
+    edge_perm = jnp.concatenate(
+        [plan.edge_perm, jnp.full((extra * t,), plan.e_orig, jnp.int32)])
+    rec_local = jnp.concatenate(
+        [plan.rec_local,
+         jnp.full((extra, t), plan.block_rows, jnp.int32)], axis=0)
+    last = plan.block_id[-1] if plan.num_tiles else jnp.int32(0)
+    block_id = jnp.concatenate(
+        [plan.block_id, jnp.full((extra,), last, jnp.int32)])
+    return dataclasses.replace(plan, src_idx=src_idx, edge_perm=edge_perm,
+                               rec_local=rec_local, block_id=block_id,
+                               num_tiles=num_tiles)
+
+
+def stack_plans(plans: list[SpmmPlan], n_src: int) -> SpmmPlan:
+    """Stack per-shard plans on a leading shard axis (data fields get
+    shape [P, ...]); tiles are ghost-padded to the max shard count and
+    e_orig is unified to the max (only the ghost edge_perm value)."""
+    nt = max(p.num_tiles for p in plans)
+    eo = max(p.e_orig for p in plans)
+    padded = [dataclasses.replace(pad_plan_tiles(p, nt, n_src), e_orig=eo)
+              for p in plans]
+    return SpmmPlan(
+        src_idx=jnp.stack([p.src_idx for p in padded]),
+        edge_perm=jnp.stack([p.edge_perm for p in padded]),
+        rec_local=jnp.stack([p.rec_local for p in padded]),
+        block_id=jnp.stack([p.block_id for p in padded]),
+        tile=padded[0].tile,
+        block_rows=padded[0].block_rows,
+        num_blocks=padded[0].num_blocks,
+        num_tiles=nt,
+        e_orig=eo,
+    )
+
+
+def shard_slice_plan(plan: SpmmPlan) -> SpmmPlan:
+    """Inside shard_map: drop the [1, ...] leading axis a P(axis)
+    in_spec leaves on each data field."""
+    return dataclasses.replace(
+        plan, src_idx=plan.src_idx[0], edge_perm=plan.edge_perm[0],
+        rec_local=plan.rec_local[0], block_id=plan.block_id[0])
+
+
+def plan_pair_for_edges(senders: np.ndarray, receivers: np.ndarray,
+                        n_dst: int, n_src: int, n_out: int | None = None,
+                        tile: int = 1024, block_rows: int = 512):
+    """(forward, backward) plans for a rectangular edge set: forward
+    reduces over dst (output n_dst rows, sources index an n_src-row
+    matrix); backward reduces over src (for d_src = A^T d_out).
+
+    `n_out` is the row count callers slice the forward output to
+    (default n_dst); it sets the backward plan's ghost source id so
+    ghost slots hit the cotangent's appended zero row exactly."""
+    if n_out is None:
+        n_out = n_dst
+    snd = np.asarray(senders, np.int64)
+    rec = np.asarray(receivers, np.int64)
+    order_f = np.argsort(rec, kind="stable")
+    fwd = build_spmm_plan(rec[order_f], snd[order_f], n_dst, tile,
+                          block_rows, n_src=n_src)
+    order_b = np.argsort(snd, kind="stable")
+    bwd = build_spmm_plan(snd[order_b], rec[order_b], n_src, tile,
+                          block_rows, n_src=n_out)
+    return fwd, bwd
 
 
 def plan_for_graph(g, tile: int = 1024, block_rows: int = 512):

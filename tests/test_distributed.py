@@ -334,3 +334,37 @@ def test_dp_sampled_sage_epoch_batchnorm_runs(mesh8):
                      jnp.asarray(idx_train), jax.random.PRNGKey(9))
     assert np.isfinite(float(loss))
     assert int(st.step) == 3                          # ceil(120/40) batches
+
+
+def test_halo_pallas_plans_match_single_device(mesh8):
+    """Pallas-tier sharded aggregation (per-shard plans, spmm_rect in
+    shard_map) == single-device oracle, forward and gradient."""
+    from glnn_tpu import ops as gops
+
+    rs = np.random.RandomState(21)
+    n, e, f = 203, 1500, 16
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    g = build_graph(src, dst, n)
+    hg = build_halo_graph(src, dst, n, mesh8, build_plans=True,
+                          plan_tile=128, plan_block_rows=16)
+    x = rs.randn(n, f).astype(np.float32)
+
+    want = np.asarray(refops.copy_u_sum(g, jnp.asarray(x)))
+    x_sh = shard_features(x, hg)
+
+    gops.set_backend("pallas")       # force the planned path off-TPU
+    try:
+        got = np.asarray(halo_copy_u_sum(hg, x_sh))[:n]
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+        def loss_sharded(xx):
+            return jnp.sum(halo_copy_u_sum(hg, xx) ** 2)
+
+        def loss_single(xx):
+            return jnp.sum(refops.copy_u_sum(g, xx) ** 2)
+
+        g_sh = np.asarray(jax.grad(loss_sharded)(x_sh))[:n]
+        g_1d = np.asarray(jax.grad(loss_single)(jnp.asarray(x)))
+        np.testing.assert_allclose(g_sh, g_1d, rtol=5e-2, atol=5e-2)
+    finally:
+        gops.set_backend("auto")
