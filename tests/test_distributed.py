@@ -365,6 +365,9 @@ def test_halo_pallas_plans_match_single_device(mesh8):
 
         g_sh = np.asarray(jax.grad(loss_sharded)(x_sh))[:n]
         g_1d = np.asarray(jax.grad(loss_single)(jnp.asarray(x)))
-        np.testing.assert_allclose(g_sh, g_1d, rtol=5e-2, atol=5e-2)
+        # bf16 message rounding: absolute error scales with the gradient
+        # magnitude (|g| up to ~2*max|copy_u_sum|), so atol must too.
+        scale = float(np.abs(g_1d).max())
+        np.testing.assert_allclose(g_sh, g_1d, rtol=5e-2, atol=5e-3 * scale)
     finally:
         gops.set_backend("auto")
