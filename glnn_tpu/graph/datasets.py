@@ -111,7 +111,7 @@ def load_ogb_data(dataset, dataset_path):
         except ImportError as e:
             raise ValueError(
                 f"{pre} not found and `ogb` is unavailable; pre-convert the "
-                f"dataset with tools/convert_ogb.py on a machine with ogb."
+                f"dataset with tools/convert_datasets.py on a machine with ogb."
             ) from e
         data = NodePropPredDataset(dataset, root=str(dataset_path))
         split = data.get_idx_split()

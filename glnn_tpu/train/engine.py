@@ -156,7 +156,17 @@ def make_mlp_epoch_fn(model, optimizer, batch_size: int, criterion: str,
     return epoch
 
 
-def make_mlp_eval_fn(model):
+def make_mlp_eval_fn(model, batch_size: int | None = None):
+    """All-node log-probs in eval mode (no dropout, running stats).
+
+    With `batch_size`, the forward streams ceil(N/B) fixed-size chunks
+    under one lax.scan — the reference's `evaluate_mini_batch`
+    (train_and_eval.py:108-136; chunked, NO tail dropping) — bounding
+    activation memory so products-scale students (2.45M nodes x 2048
+    hidden) evaluate inside HBM. Chunk results are bitwise identical to
+    the full forward because every layer is row-independent in eval
+    mode (Linear/norm-with-running-stats/ReLU)."""
+
     @jax.jit
     def evaluate(params, batch_stats, feats):
         variables = {"params": params}
@@ -165,7 +175,30 @@ def make_mlp_eval_fn(model):
         h = model.apply(variables, None, feats, training=False)[1]
         return log_softmax(h)
 
-    return evaluate
+    if batch_size is None:
+        return evaluate
+
+    @jax.jit
+    def evaluate_chunked(params, batch_stats, feats):
+        n = feats.shape[0]
+        if n <= batch_size:          # static: shapes fixed under jit
+            return evaluate(params, batch_stats, feats)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        num_batches = -(-n // batch_size)
+        pad = num_batches * batch_size - n
+        fp = jnp.pad(feats, ((0, pad), (0, 0)))
+        chunks = fp.reshape(num_batches, batch_size, feats.shape[1])
+
+        def body(_, x):
+            h = model.apply(variables, None, x, training=False)[1]
+            return None, log_softmax(h)
+
+        _, outs = jax.lax.scan(body, None, chunks)
+        return outs.reshape(num_batches * batch_size, -1)[:n]
+
+    return evaluate_chunked
 
 
 def _fanouts(conf):
@@ -244,7 +277,8 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
     if is_mlp:
         epoch_fn = make_mlp_epoch_fn(model, optimizer, conf["batch_size"],
                                      "nll")
-        eval_fn = make_mlp_eval_fn(model)
+        eval_fn = make_mlp_eval_fn(
+            model, conf.get("eval_batch_size", conf["batch_size"]))
         feats_train = feats[idx_train]
         labels_train = labels[idx_train]
     elif sampled:
@@ -348,7 +382,8 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
     if is_mlp:
         epoch_fn = make_mlp_epoch_fn(model, optimizer, conf["batch_size"],
                                      "nll")
-        eval_fn = make_mlp_eval_fn(model)
+        eval_fn = make_mlp_eval_fn(
+            model, conf.get("eval_batch_size", conf["batch_size"]))
         feats_train = obs_feats[obs_idx_train]
         labels_train = obs_labels[obs_idx_train]
     elif sampled:
@@ -467,7 +502,8 @@ def distill_run_transductive(conf, model, feats, labels, out_t_all,
                                    lamb=lamb)
     soft_epoch = make_mlp_epoch_fn(model, optimizer, batch_size, "kl",
                                    lamb=1.0 - lamb)
-    eval_fn = make_mlp_eval_fn(model)
+    eval_fn = make_mlp_eval_fn(model,
+                               conf.get("eval_batch_size", batch_size))
 
     tracker = _BestTracker(state)
     timer = StepTimer()
@@ -546,7 +582,8 @@ def distill_run_inductive(conf, model, feats, labels, out_t_all,
                                    lamb=lamb)
     soft_epoch = make_mlp_epoch_fn(model, optimizer, batch_size, "kl",
                                    lamb=1.0 - lamb)
-    eval_fn = make_mlp_eval_fn(model)
+    eval_fn = make_mlp_eval_fn(model,
+                               conf.get("eval_batch_size", batch_size))
 
     tracker = _BestTracker(state)
     timer = StepTimer()

@@ -35,9 +35,25 @@ def save_model(path, params, batch_stats=None) -> None:
 
 
 def load_model(path):
-    """Load {params, batch_stats} saved by save_model. Needs an
-    orbax-written checkpoint (the npz fallback is for export only)."""
+    """Load {params, batch_stats} saved by save_model — orbax directory
+    or the flat-npz fallback (keys are tree_flatten_with_path keystrs,
+    e.g. "['params']['layers_0']['kernel']")."""
+    path = Path(path).absolute()
+    npz = path / "flat.npz"
+    if npz.is_file():
+        arrays = np.load(npz)
+        tree: dict = {}
+        for keystr, value in arrays.items():
+            keys = [k.strip("'\"") for k in
+                    keystr.replace("]", "").split("[") if k]
+            node = tree
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = value
+        tree.setdefault("params", {})
+        tree.setdefault("batch_stats", {})
+        return tree
+
     import orbax.checkpoint as ocp
 
-    path = Path(path).absolute()
     return ocp.StandardCheckpointer().restore(path)

@@ -153,3 +153,57 @@ def test_lamb_zero_still_advances_adam_state(synth_small):
     w0 = np.asarray(state.params["Dense_0"]["kernel"])
     w1 = np.asarray(state2.params["Dense_0"]["kernel"])
     assert not np.allclose(w0, w1), "weight decay should still move params"
+
+
+def test_chunked_mlp_eval_matches_full(synth_small):
+    """evaluate_mini_batch analog (train_and_eval.py:108-136): the
+    chunked eval (ceil(N/B) batches, no tail drop) must equal the
+    single full forward exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from glnn_tpu.train import create_train_state, make_adam
+    from glnn_tpu.train.engine import make_mlp_eval_fn
+
+    g, labels, itr, iva, ite = synth_small
+    feats = jnp.asarray(g.ndata["feat"])
+    n = feats.shape[0]
+    conf = _conf(model_name="MLP", norm_type="batch",
+                 feat_dim=feats.shape[1])
+    model = Model(conf)
+    variables = model.init(jax.random.PRNGKey(0), None, feats[:2])
+    state = create_train_state(variables, make_adam(0.01, 0.0))
+
+    full = make_mlp_eval_fn(model)
+    for bs in (64, 100, n, 4 * n):       # uneven tail, exact fit, >= n
+        chunked = make_mlp_eval_fn(model, batch_size=bs)
+        a = np.asarray(full(state.params, state.batch_stats, feats))
+        b = np.asarray(chunked(state.params, state.batch_stats, feats))
+        assert b.shape == (n, a.shape[1])
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_checkpoint_npz_fallback_roundtrip(tmp_path):
+    """load_model must read its own flat-npz fallback artifact."""
+    import jax.numpy as jnp
+
+    from glnn_tpu.utils import checkpoint as ckpt
+
+    params = {"layers_0": {"kernel": jnp.ones((3, 4)),
+                           "bias": jnp.zeros((4,))}}
+    bs = {"norms_0": {"mean": jnp.full((4,), 2.0)}}
+    path = tmp_path / "model.ckpt"
+
+    import os
+    flat, _ = __import__("jax").tree_util.tree_flatten_with_path(
+        {"params": params, "batch_stats": bs})
+    arrays = {__import__("jax").tree_util.keystr(k): np.asarray(v)
+              for k, v in flat}
+    os.makedirs(path, exist_ok=True)
+    np.savez(path / "flat.npz", **arrays)
+
+    tree = ckpt.load_model(path)
+    np.testing.assert_array_equal(
+        tree["params"]["layers_0"]["kernel"], np.ones((3, 4)))
+    np.testing.assert_array_equal(
+        tree["batch_stats"]["norms_0"]["mean"], np.full((4,), 2.0))

@@ -63,13 +63,6 @@ def main():
     q, s = spmm_pallas._quantize_cols(x)
 
     # 1. pure gathers (cast outside): h is dummy scalar-carrier
-    def gather_f32(xx):
-        m = jnp.take(xx, src_idx, axis=0)
-        return m[::4096, :8].astype(jnp.float32)
-    def gather_bf16(xx):
-        m = jnp.take(xx, src_idx, axis=0)
-        return m[::4096, :8].astype(jnp.float32)
-
     def mk_gather(xx):
         def op(h):
             m = jnp.take(xx + h.astype(xx.dtype)[None, None] * 0, src_idx,
