@@ -36,6 +36,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="Evaluate once per how many epochs")
     parser.add_argument("--save_results", action="store_true",
                         help="Also save loss curves and model checkpoint")
+    parser.add_argument("--n_shards", type=int, default=1,
+                        help="Devices to shard over (graph-partitioned "
+                             "halo execution for full-batch teachers, "
+                             "data-parallel for sampled SAGE / students); "
+                             "1 = single device")
     parser.add_argument("--ops_backend", type=str, default="auto",
                         help="Message-passing kernel tier: one of "
                              "[auto, xla, pallas, pallas_int8]")

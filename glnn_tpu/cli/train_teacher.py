@@ -89,18 +89,35 @@ def run(args):
 
     loss_and_score = []
     state_out = {} if args.save_results else None
+    n_shards = int(conf.get("n_shards", 1) or 1)
     # GNN teachers get the Pallas SpMM plan; MLP never touches the graph.
-    # Very large graphs (ogbn-products) skip the plan: their full-graph
-    # aggregation runs the chunked streaming path instead (ops._oversized).
-    build_plans = not model.is_mlp and g.num_edges() < 8_000_000
+    build_plans = not model.is_mlp
     G = g.to_device(build_plans=build_plans)
+
+    def _to_halo(host_g, want_plans):
+        """Graph-partitioned halo view over the first n_shards devices
+        (SURVEY.md §2.4: 1D node partition, dst-owned edges, boundary
+        rows exchanged via all_to_all under shard_map)."""
+        import jax
+        from glnn_tpu.distributed.halo import build_halo_graph
+        from glnn_tpu.distributed.mesh import make_mesh
+
+        mesh = make_mesh(n_shards, axis="shard")
+        plans = want_plans and jax.default_backend() == "tpu"
+        return build_halo_graph(host_g.src, host_g.dst, host_g.num_nodes(),
+                                mesh, axis="shard", build_plans=plans)
+
     if args.exp_setting == "tran":
         indices = (idx_train, idx_val, idx_test)
         if args.feature_aug_k > 0:
             feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
+        g_train, g_struct = G, None
+        if n_shards > 1 and not model.is_mlp:
+            logger.info(f"distributed: n_shards={n_shards} halo-sharded")
+            g_train, g_struct = _to_halo(g, build_plans), G
         out, score_val, score_test = run_transductive(
-            conf, model, G, feats, labels, indices, optimizer, logger,
-            loss_and_score, state_out=state_out,
+            conf, model, g_train, feats, labels, indices, optimizer, logger,
+            loss_and_score, state_out=state_out, g_struct=g_struct,
         )
         score_lst = [score_test]
     elif args.exp_setting == "ind":
@@ -114,9 +131,15 @@ def run(args):
                 feature_prop(feats[idx_obs], obs_G, args.feature_aug_k))
             feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
             feats[idx_obs] = obs_feats
+        g_full, g_obs, g_struct = G, obs_G, None
+        if n_shards > 1 and not model.is_mlp:
+            logger.info(f"distributed: n_shards={n_shards} halo-sharded")
+            g_full = _to_halo(g, build_plans)
+            g_obs = _to_halo(obs_g, build_plans)
+            g_struct = obs_G
         out, score_val, score_test_tran, score_test_ind = run_inductive(
-            conf, model, G, obs_G, feats, labels, indices, optimizer, logger,
-            loss_and_score, state_out=state_out,
+            conf, model, g_full, g_obs, feats, labels, indices, optimizer,
+            logger, loss_and_score, state_out=state_out, g_struct=g_struct,
         )
         score_lst = [score_test_tran, score_test_ind]
     else:

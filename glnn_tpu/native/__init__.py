@@ -38,6 +38,7 @@ def _load():
         return None
 
     i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     for name, argtypes in [
         ("sort_edges", [ctypes.c_int64, i64p, ctypes.c_int64, i64p]),
         ("coo_to_csr", [ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
@@ -49,9 +50,14 @@ def _load():
         ("induced_subgraph", [ctypes.c_int64, ctypes.c_int64, i64p, i64p,
                               ctypes.c_int64, i64p, i64p, i64p, i64p]),
         ("degrees", [ctypes.c_int64, ctypes.c_int64, i64p, i64p]),
+        ("spmm_plan_num_tiles", [ctypes.c_int64, i64p, ctypes.c_int64,
+                                 ctypes.c_int64, ctypes.c_int64]),
+        ("spmm_plan_fill", [ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+                            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                            "i32p", "i32p", "i32p", "i32p"]),
     ]:
         fn = getattr(lib, name)
-        fn.argtypes = argtypes
+        fn.argtypes = [i32p if a == "i32p" else a for a in argtypes]
         fn.restype = ctypes.c_int64
     _lib = lib
     return _lib
@@ -131,3 +137,31 @@ def induced_subgraph(src, dst, n: int, idx):
     new_id[idx] = np.arange(k)
     keep = (new_id[src] >= 0) & (new_id[dst] >= 0)
     return new_id[src[keep]], new_id[dst[keep]]
+
+
+def _p32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def spmm_plan_arrays(rec, snd, n_nodes: int, n_src: int, tile: int,
+                     block_rows: int):
+    """Native SpMM-plan build (see native/graphops.cpp). Returns
+    (src_idx[i32, T*tile], edge_perm[i32, T*tile],
+     rec_local[i32, T, tile], block_id[i32, T]) or None when the native
+    library is unavailable (callers fall back to the numpy builder)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rec, snd = _c64(rec), _c64(snd)
+    e = rec.shape[0]
+    t = lib.spmm_plan_num_tiles(e, _p(rec), n_nodes, tile, block_rows)
+    src_idx = np.empty(t * tile, np.int32)
+    edge_perm = np.empty(t * tile, np.int32)
+    rec_local = np.empty(t * tile, np.int32)
+    block_id = np.empty(t, np.int32)
+    got = lib.spmm_plan_fill(e, _p(rec), _p(snd), n_nodes, n_src, tile,
+                             block_rows, _p32(src_idx), _p32(edge_perm),
+                             _p32(rec_local), _p32(block_id))
+    if got != t:
+        raise ValueError("spmm_plan_fill: receivers not dst-sorted")
+    return src_idx, edge_perm, rec_local.reshape(t, tile), block_id

@@ -89,6 +89,28 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
         raise ValueError("receivers must be dst-sorted")
 
     num_blocks = max(1, -(-n_nodes // block_rows))
+
+    # native single-pass builder (native/graphops.cpp) — required at
+    # ogbn-products scale; the vectorized numpy path below is the
+    # fallback and the parity oracle (tests/test_native.py)
+    from glnn_tpu import native
+
+    if native.available():
+        arrays = native.spmm_plan_arrays(rec, snd, n_nodes, n_src, tile,
+                                         block_rows)
+        if arrays is not None:
+            src_idx, edge_perm, rec_local, block_id = arrays
+            return SpmmPlan(
+                src_idx=jnp.asarray(src_idx),
+                edge_perm=jnp.asarray(edge_perm),
+                rec_local=jnp.asarray(rec_local),
+                block_id=jnp.asarray(block_id),
+                tile=tile,
+                block_rows=block_rows,
+                num_blocks=int(num_blocks),
+                num_tiles=int(block_id.shape[0]),
+                e_orig=int(n_edges),
+            )
     starts = np.searchsorted(rec // block_rows, np.arange(num_blocks), "left")
     ends = np.searchsorted(rec // block_rows, np.arange(num_blocks), "right")
     counts = ends - starts

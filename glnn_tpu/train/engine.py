@@ -221,6 +221,46 @@ def _use_sampled_sage(conf, model) -> bool:
     return conf.get("sage_sampling", "auto") != "full"
 
 
+
+def _maybe_shard_data(conf, feats):
+    """Row-shard a feature matrix over a data mesh when conf asks for
+    n_shards > 1 (graph-free paths: MLP teacher, GLNN student). The
+    jitted epoch/eval functions then run SPMD under GSPMD with batch
+    gathers resolved across shards — the TPU-native data parallelism
+    of SURVEY.md §2.4 row 1."""
+    n_shards = int(conf.get("n_shards", 1) or 1)
+    if n_shards <= 1:
+        return jnp.asarray(feats)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glnn_tpu.distributed.mesh import make_mesh
+
+    mesh = make_mesh(n_shards, axis="data")
+    return jax.device_put(jnp.asarray(feats),
+                          NamedSharding(mesh, P("data", None)))
+
+
+def _is_halo(g) -> bool:
+    from glnn_tpu.distributed.halo import HaloGraph
+
+    return isinstance(g, HaloGraph)
+
+
+def _prep_halo_inputs(g, feats, labels):
+    """Shard features row-wise over the halo graph's mesh and ghost-pad
+    labels to n_pad, so the same jitted step/eval functions run SPMD.
+    Returns (feats_sharded, labels_padded)."""
+    from glnn_tpu.distributed.halo import shard_features
+
+    feats_np = np.asarray(feats, np.float32)
+    feats = shard_features(feats_np, g)
+    labels_np = np.asarray(labels)
+    pad = g.n_pad - labels_np.shape[0]
+    labels = jnp.asarray(np.concatenate(
+        [labels_np, np.zeros(pad, labels_np.dtype)]))
+    return feats, labels
+
+
 # --------------------------------------------------------------------
 # Shared early-stop skeleton
 # --------------------------------------------------------------------
@@ -258,12 +298,27 @@ def _subset_metrics(out, labels, idx):
 # --------------------------------------------------------------------
 
 def run_transductive(conf, model, g, feats, labels, indices, optimizer,
-                     logger, loss_and_score, state_out=None):
+                     logger, loss_and_score, state_out=None, g_struct=None):
     """Teacher training, transductive. Returns (out, score_val, score_test)
-    with `out` = all-node log-probs from the best checkpoint."""
+    with `out` = all-node log-probs from the best checkpoint.
+
+    Multi-chip: pass `g` as a HaloGraph (distributed/halo.py) — features
+    are row-sharded over its mesh, the full-batch step and the all-node
+    eval run SPMD via halo exchange, and the runner protocol (eval
+    interval / patience / best-restore) is unchanged. For fanout-sampled
+    SAGE additionally pass `g_struct` = the replicated single-device
+    Graph (structure only) used by the on-device sampler; the epoch then
+    runs data-parallel with features fetched from their owner shards
+    (distributed/sampling.py)."""
     idx_train, idx_val, idx_test = [jnp.asarray(i) for i in indices]
-    labels = jnp.asarray(labels)
-    feats = jnp.asarray(feats)
+    n_real = int(np.asarray(labels).shape[0])
+    halo = _is_halo(g)
+    if halo:
+        feats, labels = _prep_halo_inputs(g, feats, labels)
+    else:
+        labels = jnp.asarray(labels)
+        feats = (_maybe_shard_data(conf, feats) if model.is_mlp
+                 else jnp.asarray(feats))
 
     rng = jax.random.PRNGKey(conf["seed"])
     init_rng, run_rng = jax.random.split(rng)
@@ -281,6 +336,17 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
             model, conf.get("eval_batch_size", conf["batch_size"]))
         feats_train = feats[idx_train]
         labels_train = labels[idx_train]
+    elif sampled and halo:
+        if g_struct is None:
+            raise ValueError(
+                "sampled SAGE on a HaloGraph needs g_struct (the "
+                "replicated structure Graph) for the on-device sampler")
+        from glnn_tpu.distributed.sampling import (
+            make_dp_sampled_sage_epoch_fn)
+        epoch_fn = make_dp_sampled_sage_epoch_fn(
+            model, optimizer, conf["batch_size"], _fanouts(conf),
+            mesh=g.mesh, axis=g.axis)
+        eval_fn = make_eval_fn(model)
     elif sampled:
         from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
         epoch_fn = make_sage_sampled_epoch_fn(
@@ -298,8 +364,9 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
         elif sampled:
-            state, loss, overflow = epoch_fn(state, g, feats, labels,
-                                             idx_train, epoch_rng)
+            state, loss, overflow = epoch_fn(
+                state, g_struct if halo else g, feats, labels, idx_train,
+                epoch_rng)
             if bool(overflow):
                 logger.warning(f"Ep {epoch}: sampler frontier cap overflow")
         else:
@@ -352,23 +419,38 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         f"Best valid model at epoch: {tracker.best_epoch: 3d}, "
         f"score_val: {score_val:.4f}, score_test: {score_test:.4f}"
     )
-    return np.asarray(out), score_val, score_test
+    return np.asarray(out)[:n_real], score_val, score_test
 
 
 def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
-                  logger, loss_and_score, state_out=None):
+                  logger, loss_and_score, state_out=None, g_struct=None):
     """Teacher training, inductive. Trains on the observed subgraph only;
     final soft labels merge obs-graph predictions over the full-graph
     tensor (`out[idx_obs] = obs_out`, train_and_eval.py:508).
+
+    Multi-chip: pass `g` AND `obs_g` as HaloGraphs over the same mesh
+    (see run_transductive); `g_struct` is the replicated OBSERVED
+    structure Graph for the sampled-SAGE path.
 
     Returns (out, score_val, score_test_tran, score_test_ind)."""
     obs_idx_train, obs_idx_val, obs_idx_test, idx_obs, idx_test_ind = [
         jnp.asarray(i) for i in indices
     ]
-    labels = jnp.asarray(labels)
-    feats = jnp.asarray(feats)
-    obs_feats = feats[idx_obs]
-    obs_labels = labels[idx_obs]
+    n_real = int(np.asarray(labels).shape[0])
+    n_obs = int(np.asarray(indices[3]).shape[0])
+    halo = _is_halo(obs_g)
+    if halo:
+        feats_np = np.asarray(feats, np.float32)
+        labels_np = np.asarray(labels)
+        obs_sel = np.asarray(indices[3])
+        feats, labels = _prep_halo_inputs(g, feats_np, labels_np)
+        obs_feats, obs_labels = _prep_halo_inputs(
+            obs_g, feats_np[obs_sel], labels_np[obs_sel])
+    else:
+        labels = jnp.asarray(labels)
+        feats = jnp.asarray(feats)
+        obs_feats = feats[idx_obs]
+        obs_labels = labels[idx_obs]
 
     rng = jax.random.PRNGKey(conf["seed"])
     init_rng, run_rng = jax.random.split(rng)
@@ -386,6 +468,17 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
             model, conf.get("eval_batch_size", conf["batch_size"]))
         feats_train = obs_feats[obs_idx_train]
         labels_train = obs_labels[obs_idx_train]
+    elif sampled and halo:
+        if g_struct is None:
+            raise ValueError(
+                "sampled SAGE on a HaloGraph needs g_struct (the "
+                "replicated observed structure Graph)")
+        from glnn_tpu.distributed.sampling import (
+            make_dp_sampled_sage_epoch_fn)
+        epoch_fn = make_dp_sampled_sage_epoch_fn(
+            model, optimizer, conf["batch_size"], _fanouts(conf),
+            mesh=obs_g.mesh, axis=obs_g.axis)
+        eval_fn = make_eval_fn(model)
     elif sampled:
         from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
         epoch_fn = make_sage_sampled_epoch_fn(
@@ -403,9 +496,9 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
         elif sampled:
-            state, loss, overflow = epoch_fn(state, obs_g, obs_feats,
-                                             obs_labels, obs_idx_train,
-                                             epoch_rng)
+            state, loss, overflow = epoch_fn(
+                state, g_struct if halo else obs_g, obs_feats, obs_labels,
+                obs_idx_train, epoch_rng)
             if bool(overflow):
                 logger.warning(f"Ep {epoch}: sampler frontier cap overflow")
         else:
@@ -459,8 +552,8 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
     _, score_test_tran = _subset_metrics(obs_out, obs_labels, obs_idx_test)
     _, score_test_ind = _subset_metrics(out_all, labels, idx_test_ind)
 
-    out = np.array(out_all)
-    out[np.asarray(idx_obs)] = np.asarray(obs_out)
+    out = np.array(out_all)[:n_real]
+    out[np.asarray(idx_obs)] = np.asarray(obs_out)[:n_obs]
     logger.info(
         f"Best valid model at epoch: {tracker.best_epoch:3d}, "
         f"score_val: {score_val:.4f}, "
@@ -483,7 +576,7 @@ def distill_run_transductive(conf, model, feats, labels, out_t_all,
     lamb = conf["lamb"]
     idx_l, idx_t, idx_val, idx_test = [jnp.asarray(i) for i in
                                        distill_indices]
-    feats = jnp.asarray(feats)
+    feats = _maybe_shard_data(conf, feats)
     labels = jnp.asarray(labels)
     out_t_all = jnp.asarray(out_t_all)
 
@@ -559,7 +652,7 @@ def distill_run_inductive(conf, model, feats, labels, out_t_all,
     lamb = conf["lamb"]
     (obs_idx_l, obs_idx_t, obs_idx_val, obs_idx_test, idx_obs,
      idx_test_ind) = [jnp.asarray(i) for i in distill_indices]
-    feats = jnp.asarray(feats)
+    feats = _maybe_shard_data(conf, feats)
     labels = jnp.asarray(labels)
     out_t_all = jnp.asarray(out_t_all)
 

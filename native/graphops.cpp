@@ -121,4 +121,81 @@ int64_t degrees(int64_t n, int64_t e, const int64_t* nodes,
   return 0;
 }
 
+// ------------------------------------------------------------------
+// SpMM execution-plan builder (ops/spmm_plan.py contract): tile the
+// dst-sorted edge list into fixed-size tiles, each owned by one
+// destination block of `block_rows` rows; pad tiles with ghost slots
+// (src = n_src, rec_local = block_rows, edge_perm = e); sort slots
+// within each tile by source row so the message gather walks HBM in
+// ascending address order. Single O(E log tile) pass — replaces the
+// numpy builder at ogbn-products scale (SURVEY.md §2.3 row 1).
+// ------------------------------------------------------------------
+
+// Number of tiles for a dst-sorted edge list (every block gets >= 1).
+int64_t spmm_plan_num_tiles(int64_t e, const int64_t* rec, int64_t n_nodes,
+                            int64_t tile, int64_t block_rows) {
+  int64_t num_blocks = (n_nodes + block_rows - 1) / block_rows;
+  if (num_blocks < 1) num_blocks = 1;
+  std::vector<int64_t> counts(num_blocks, 0);
+  for (int64_t i = 0; i < e; ++i) counts[rec[i] / block_rows]++;
+  int64_t t = 0;
+  for (int64_t b = 0; b < num_blocks; ++b) {
+    int64_t tb = (counts[b] + tile - 1) / tile;
+    t += tb > 0 ? tb : 1;
+  }
+  return t;
+}
+
+// Fill the plan arrays. rec must be dst-sorted; outputs are int32:
+//   src_idx   [num_tiles*tile], edge_perm [num_tiles*tile],
+//   rec_local [num_tiles*tile], block_id  [num_tiles].
+// Returns num_tiles (== spmm_plan_num_tiles) or -1 on unsorted input.
+int64_t spmm_plan_fill(int64_t e, const int64_t* rec, const int64_t* snd,
+                       int64_t n_nodes, int64_t n_src, int64_t tile,
+                       int64_t block_rows, int32_t* src_idx,
+                       int32_t* edge_perm, int32_t* rec_local,
+                       int32_t* block_id) {
+  int64_t num_blocks = (n_nodes + block_rows - 1) / block_rows;
+  if (num_blocks < 1) num_blocks = 1;
+  for (int64_t i = 1; i < e; ++i)
+    if (rec[i] < rec[i - 1]) return -1;
+
+  // per-tile scratch: (src, edge, rec_local) triples sorted by src
+  std::vector<int64_t> order(tile);
+  int64_t t = 0;     // tile cursor
+  int64_t i = 0;     // edge cursor
+  for (int64_t b = 0; b < num_blocks; ++b) {
+    int64_t end = i;
+    while (end < e && rec[end] / block_rows == b) ++end;
+    int64_t cnt = end - i;
+    int64_t tiles_b = (cnt + tile - 1) / tile;
+    if (tiles_b < 1) tiles_b = 1;
+    for (int64_t k = 0; k < tiles_b; ++k, ++t) {
+      int64_t lo = i + k * tile;
+      int64_t hi = lo + tile;
+      if (hi > end) hi = end;
+      int64_t m = hi > lo ? hi - lo : 0;
+      // sort slots by src (stable, ghosts last)
+      std::iota(order.begin(), order.begin() + m, lo);
+      std::stable_sort(order.begin(), order.begin() + m,
+                       [&](int64_t a, int64_t c) { return snd[a] < snd[c]; });
+      int64_t base = t * tile;
+      for (int64_t s = 0; s < m; ++s) {
+        int64_t eid = order[s];
+        src_idx[base + s] = (int32_t)snd[eid];
+        edge_perm[base + s] = (int32_t)eid;
+        rec_local[base + s] = (int32_t)(rec[eid] - b * block_rows);
+      }
+      for (int64_t s = m; s < tile; ++s) {
+        src_idx[base + s] = (int32_t)n_src;
+        edge_perm[base + s] = (int32_t)e;
+        rec_local[base + s] = (int32_t)block_rows;
+      }
+      block_id[t] = (int32_t)b;
+    }
+    i = end;
+  }
+  return t;
+}
+
 }  // extern "C"

@@ -71,3 +71,38 @@ def test_large_roundtrip_consistency():
         a = np.sort(indices_n[indptr_n[v]:indptr_n[v + 1]])
         b = np.sort(ref_sorted[indptr_ref[v]:indptr_ref[v + 1]])
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_spmm_plan_matches_numpy():
+    """The C++ plan builder must reproduce the numpy builder's plan
+    exactly (same tiling, same within-tile src ordering)."""
+    import numpy as np
+
+    from glnn_tpu import native
+    from glnn_tpu.ops import spmm_plan as sp
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rs = np.random.RandomState(3)
+    n, e = 700, 5000
+    snd = rs.randint(0, n, e).astype(np.int64)
+    rec = np.sort(rs.randint(0, n, e)).astype(np.int64)
+
+    got = sp.build_spmm_plan(rec, snd, n, tile=256, block_rows=128)
+
+    # force the numpy fallback by monkeypatching availability
+    orig = native.available
+    native.available = lambda: False
+    try:
+        want = sp.build_spmm_plan(rec, snd, n, tile=256, block_rows=128)
+    finally:
+        native.available = orig
+
+    assert got.num_tiles == want.num_tiles
+    assert got.num_blocks == want.num_blocks
+    np.testing.assert_array_equal(got.block_id, want.block_id)
+    np.testing.assert_array_equal(got.rec_local, want.rec_local)
+    np.testing.assert_array_equal(got.src_idx, want.src_idx)
+    np.testing.assert_array_equal(got.edge_perm, want.edge_perm)
