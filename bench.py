@@ -8,7 +8,12 @@ the north-star metric is edges/s/chip vs the HBM roofline).
 
 `vs_baseline` reports achieved/roofline where roofline assumes the
 minimum HBM traffic for a COO-segment SpMM: (E + 2N) * F * 4 bytes
-moved at full HBM bandwidth (v5e ~819 GB/s, v5p ~2765 GB/s).
+moved at full HBM bandwidth (v5e ~819 GB/s, v5p ~2765 GB/s). That
+model streams even the E random row reads at spec bandwidth; the
+measured random-row gather on v5e is ROW-RATE-bound at ~240M rows/s
+(PERF.md), so extras also carry `gather_sol_edges_per_s` (the
+measured speed-of-light for this graph: E / time of the bare message
+gather) and `vs_gather_sol` (headline achieved / that).
 
 Extras carried in the same JSON object: full-batch GCN teacher step
 time and MLP student epoch time on the same graph.
@@ -93,8 +98,11 @@ def main():
     g = build_graph(src, dst, N).with_plans()
     x = jnp.asarray(rs.randn(N, F).astype(np.float32))
 
-    # chain-of-k timing subtracts the per-call RPC floor exactly; the
-    # chain runs under lax.scan so each op compiles exactly once
+    # chain-of-k timing under lax.scan: ONE compile per op; the
+    # separately-measured RPC floor is subtracted (round-1's two-chain
+    # variant doubled the compile count and blew the bench deadline)
+    rpc = measure_rpc_floor()
+
     def chain(op, k):
         @jax.jit
         def f(graph, xx):
@@ -104,16 +112,12 @@ def main():
             return h.sum()
         return f
 
-    def spmm_time(op, repeats=3):
-        # tunnel latency jitter is ~+-10%; take the min of repeated
-        # chain-of-k measurements (compiles are cached after the first)
-        c1, c6 = chain(op, 1), chain(op, 6)
+    def spmm_time(op, repeats=3, k=6):
+        c = chain(op, k)
         best = float("inf")
         for _ in range(repeats):
-            t1 = time_scalar(c1, g, x, iters=3)
-            t6 = time_scalar(c6, g, x, iters=3)
-            best = min(best, (t6 - t1) / 5)
-        return max(best, 1e-9)
+            best = min(best, time_scalar(c, g, x, iters=3))
+        return max((best - rpc) / k, 1e-9)
 
     def out_of_time():
         return time.monotonic() - start > DEADLINE_S
@@ -130,6 +134,20 @@ def main():
         from glnn_tpu.ops import spmm_pallas
         dt_i8 = spmm_time(spmm_pallas.copy_u_sum_int8)
         _stage(f"int8 spmm {dt_i8*1e3:.1f} ms", start)
+    dt_take = None
+    if jax.default_backend() == "tpu" and not out_of_time():
+        from glnn_tpu.ops import spmm_pallas as _sp
+        _pf = g.plans[0]
+
+        def take_only(graph, xx):
+            # scalar-coupled so the scan carry depends on the gather
+            # (otherwise XLA dead-code-eliminates it); the extra
+            # broadcast-add streams x once (~0.5ms), small vs the gather
+            xb = xx.astype(jnp.bfloat16)
+            m = jnp.take(_sp._ghost_extend(xb), _pf.src_idx, axis=0)
+            return xx + m.sum(dtype=jnp.float32) * 1e-12
+        dt_take = spmm_time(take_only)
+        _stage(f"bare gather {dt_take*1e3:.1f} ms", start)
     edges_per_s = e / dt
 
     bw = detect_bw()
@@ -148,7 +166,6 @@ def main():
                 dropout_ratio=0.2, norm_type="none")
     model = Model(conf)
     opt = make_adam(0.01, 0.0)
-    rpc = measure_rpc_floor()
 
     extras = {
         "graph": f"synthetic arxiv-scale N={N} E={e} F={F}",
@@ -157,6 +174,8 @@ def main():
         "spmm_xla_ms": round(dt_xla * 1e3, 3) if dt_xla else None,
         "speedup_vs_xla": round(dt_xla / dt, 2) if dt_xla else None,
         "roofline_edges_per_s": round(roofline, 1),
+        "gather_sol_edges_per_s": round(e / dt_take, 1) if dt_take else None,
+        "vs_gather_sol": round(dt_take / dt, 4) if dt_take else None,
         "rpc_floor_ms": round(rpc * 1e3, 3),
         "device": jax.devices()[0].device_kind,
         "ops_backend": ("pallas" if jax.default_backend() == "tpu"

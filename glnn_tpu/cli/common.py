@@ -41,6 +41,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "halo execution for full-batch teachers, "
                              "data-parallel for sampled SAGE / students); "
                              "1 = single device")
+    parser.add_argument("--debug_checks", action="store_true",
+                        help="Enable NaN/Inf + out-of-bounds-index "
+                             "guards (checkify float/index checks and "
+                             "per-epoch finite-loss asserts); slower")
     parser.add_argument("--ops_backend", type=str, default="auto",
                         help="Message-passing kernel tier: one of "
                              "[auto, xla, pallas, pallas_int8]")

@@ -92,7 +92,7 @@ class HaloGraph:
 
 def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
                      mesh: Mesh, axis: str = "graph",
-                     build_plans: bool = False, plan_tile: int = 1024,
+                     build_plans: bool = False, plan_tile: int = 512,
                      plan_block_rows: int = 512) -> HaloGraph:
     n_shards = mesh.shape[axis]
     src = np.asarray(src, np.int64)

@@ -61,11 +61,15 @@ class Graph:
     # tier (ops/spmm_plan.py); None keeps the pure-XLA path.
     plans: tuple | None = None
 
-    def with_plans(self, tile: int = 1024, block_rows: int = 512) -> "Graph":
+    def with_plans(self, tile: int = 512, block_rows: int = 512) -> "Graph":
         from glnn_tpu.ops.spmm_plan import plan_for_graph
 
-        return dataclasses.replace(self, plans=plan_for_graph(
+        g = dataclasses.replace(self, plans=plan_for_graph(
             self, tile=tile, block_rows=block_rows))
+        host = getattr(self, "_host_edges", None)
+        if host is not None:         # keep the host edge cache alive
+            object.__setattr__(g, "_host_edges", host)
+        return g
 
     @property
     def num_nodes(self) -> int:
@@ -141,7 +145,7 @@ def build_graph(
     indptr = np.zeros(n_nodes + 2, dtype=np.int32)
     np.cumsum(counts, out=indptr[1:])
 
-    return Graph(
+    g = Graph(
         senders=jnp.asarray(src_s, jnp.int32),
         receivers=jnp.asarray(dst_s, jnp.int32),
         indptr=jnp.asarray(indptr, jnp.int32),
@@ -151,6 +155,16 @@ def build_graph(
         n_nodes=int(n_nodes),
         n_edges=n_edges,
     )
+    # Host copies of the sorted real edges, stashed as a NON-field
+    # attribute (invisible to the pytree, so jit caching is unaffected;
+    # lost across flatten/unflatten, which is fine — it is a cache).
+    # plan_for_graph reads this instead of np.asarray(g.receivers):
+    # through the axon relay a bulk device->host fetch of the edge
+    # arrays takes minutes (measured 266s for 2x10MB), while plan
+    # building itself is <0.5s.
+    object.__setattr__(g, "_host_edges",
+                       (src_s[:n_edges].copy(), dst_s[:n_edges].copy()))
+    return g
 
 
 def graph_from_csr(

@@ -180,8 +180,9 @@ def _load_pokec_mat(data_path):
     import scipy.io
     if not os.path.isfile(data_path):
         raise ValueError(
-            f"{data_path} doesn't exist (pokec auto-download requires "
-            f"network; place the .mat file manually)."
+            f"{data_path} doesn't exist — fetch it once with "
+            f"tools/fetch_pokec.py on a machine with network access "
+            f"(this environment has no egress)."
         )
     mat = scipy.io.loadmat(str(data_path))
     edge_index = np.asarray(mat["edge_index"], np.int64)

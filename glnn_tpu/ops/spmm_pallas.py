@@ -16,17 +16,24 @@ XLA `jnp.take` and run the reduction here. Both are linear, so the
 custom VJP reuses the kernel on the transposed plan: dX = A^T dH.
 
 Performance anatomy (measured on v5e, arxiv-scale E=2.37M F=256,
-tools/probe_gather.py + tools/sweep_spmm.py): the bound is the XLA row
-gather, which sustains a flat ~135 GB/s — independent of index
-locality, sortedness, and row size (bf16 512B vs f32 1KB rows move the
-same bytes/s), while sequential streams hit ~650 GB/s on the same
-chip. The reduction kernel itself absorbs messages at >600 GB/s with
-~3ms of MXU work at block_rows=512. Hence bf16 messages (halve the
-gathered bytes) and plan tuning that minimizes padded slots are the
-levers that matter; an in-kernel DMA gather is NOT viable (per-row
-descriptor issue is scalar-core-bound, ~50cy/row ≈ 100ms/2.4M rows).
-A int8-quantized gather tier (per-row scales, dequant in VMEM) is the
-remaining ~1.6x and is left as an opt-in follow-up.
+tools/probe_stages.py + tools/sweep_spmm.py; full table in PERF.md):
+the bound is the HBM random ROW RATE of the XLA gather — ~240M rows/s
+regardless of row size up to ~512B (int8 256B rows and bf16 512B rows
+gather in the SAME time; f32 1KB rows additionally hit a ~135 GB/s
+bytes wall) — while sequential streams run at ~650 GB/s. Quantizing
+messages therefore does NOT speed the gather; it speeds the REDUCE
+(int8 one-hot matmuls run at 2x MXU rate and halve the materialized
+message read). The reduce kernel itself costs ~6.8ms bf16 / ~4.0ms
+int8 at (tile=512, block_rows=512), partially overlapped with the
+gather by XLA's scheduler. Alternatives were evaluated and lose on
+this hardware (PERF.md): sequential-streaming/two-sided designs pay
+num_blocks sequential passes of X (23x more bytes than the gather
+moves at only ~5x more bandwidth); radix/bucketed scatter dies on the
+absence of a VMEM row shuffle (any in-VMEM rearrangement is itself a
+2*width*F-flop one-hot matmul); an in-kernel DMA gather is
+descriptor-issue-bound (~20M rows/s). The op is within ~15% of the
+measured gather speed-of-light; the slot count (padding) is the only
+remaining lever, which the tile=512 default minimizes.
 """
 
 from __future__ import annotations
@@ -52,23 +59,22 @@ def _kernel(block_id_ref, rec_local_ref, m_ref, out_ref):
 
     d = out_ref.shape[0]
     fb = out_ref.shape[1]
-    # rec_local block: (1, R, 128); slot s of the edge tile lives at
-    # (s // 128, s % 128). One partial matmul per 128-slot row keeps
-    # every operand in a native (sublane, lane) layout — no reshapes.
-    # The one-hot is exact in bf16, so with bf16 messages the MXU
-    # accumulates exact f32 sums of bf16-rounded inputs. With int8
-    # messages (quantized tier) the one-hot is int8 and the MXU
-    # accumulates EXACT int32 sums.
-    r_rows = rec_local_ref.shape[1]
+    tile = m_ref.shape[0]
+    # ONE one-hot [d, tile] and ONE K=tile matmul per (tile, f_block):
+    # the MXU accumulates the whole tile internally. (The previous
+    # 8-step loop of K=128 dots chained f32 VPU adds between partials —
+    # measured ~1us/tile slower on v5e.) The one-hot is exact in bf16,
+    # so with bf16 messages the MXU accumulates exact f32 sums of
+    # bf16-rounded inputs; with int8 messages (quantized tier) the
+    # one-hot is int8 and the MXU accumulates EXACT int32 sums.
     mdt = m_ref.dtype
     acc_t = out_ref.dtype
-    contrib = jnp.zeros((d, fb), acc_t)
-    for r in range(r_rows):
-        rec_r = rec_local_ref[0, r, :]             # [128]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 0)
-        one_hot = (row_ids == rec_r[None, :]).astype(mdt)
-        contrib += jnp.dot(one_hot, m_ref[r * 128 : (r + 1) * 128, :],
-                           preferred_element_type=acc_t)
+    # rec_local arrives in native (8-sublane, 128-lane) tiling; the
+    # lane-major flatten to [1, tile] is a small int32 relayout.
+    rec = rec_local_ref[0].reshape(1, tile)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, tile), 0)
+    one_hot = (row_ids == rec).astype(mdt)
+    contrib = jnp.dot(one_hot, m_ref[:, :], preferred_element_type=acc_t)
 
     @pl.when(is_first)
     def _():

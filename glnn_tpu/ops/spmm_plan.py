@@ -63,7 +63,7 @@ class SpmmPlan:
 
 
 def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
-                    n_nodes: int, tile: int = 1024,
+                    n_nodes: int, tile: int = 512,
                     block_rows: int = 512,
                     n_src: int | None = None) -> SpmmPlan:
     """Plan over dst-sorted (receivers, senders) of real edges only.
@@ -72,13 +72,15 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
     rectangular reductions (sharded halo aggregation, where senders
     index a recv buffer and receivers index local rows).
 
-    Defaults (tile=1024, block_rows=512) won a v5e sweep
-    (tools/sweep_spmm.py): the pipeline is gather-bound, so padded
-    slots (which inflate gathered bytes) dominate the tradeoff —
-    expected pad fraction is ~tile/(2*block_rows*avg_deg) — while
-    block_rows only adds MXU flops (2*block_rows*F per slot), cheap
-    until ~512. Smaller tiles cut padding but add per-grid-step
-    overhead (~1us/step).
+    Defaults (tile=512, block_rows=512) won the round-2 v5e sweep
+    (tools/sweep_spmm.py; see PERF.md): the pipeline is bound by the
+    HBM random-row gather, which on v5e is ROW-RATE-limited
+    (~240M rows/s regardless of row bytes up to ~512B), so padded
+    slots (extra gathered rows) dominate the tradeoff — expected pad
+    fraction is ~tile/(2*block_rows*avg_deg). block_rows adds MXU
+    flops (2*block_rows*F per slot), cheap until ~512; halving the
+    tile to 512 cut arxiv-scale padding 6.7%->3.3% and the reduce
+    kernel 7.9->6.8 ms with no measurable per-grid-step penalty.
     """
     rec = np.asarray(receivers, np.int64)
     snd = np.asarray(senders, np.int64)
@@ -215,7 +217,7 @@ def shard_slice_plan(plan: SpmmPlan) -> SpmmPlan:
 
 def plan_pair_for_edges(senders: np.ndarray, receivers: np.ndarray,
                         n_dst: int, n_src: int, n_out: int | None = None,
-                        tile: int = 1024, block_rows: int = 512):
+                        tile: int = 512, block_rows: int = 512):
     """(forward, backward) plans for a rectangular edge set: forward
     reduces over dst (output n_dst rows, sources index an n_src-row
     matrix); backward reduces over src (for d_src = A^T d_out).
@@ -236,12 +238,21 @@ def plan_pair_for_edges(senders: np.ndarray, receivers: np.ndarray,
     return fwd, bwd
 
 
-def plan_for_graph(g, tile: int = 1024, block_rows: int = 512):
+def plan_for_graph(g, tile: int = 512, block_rows: int = 512):
     """(forward, backward) plans for a Graph container. Forward reduces
     over dst; backward reduces over src (for dX = A^T dH), with
-    edge_perm composed back into the original dst-sorted edge order."""
-    recv = np.asarray(g.receivers)[: g.n_edges]
-    send = np.asarray(g.senders)[: g.n_edges]
+    edge_perm composed back into the original dst-sorted edge order.
+
+    Reads the host edge cache build_graph stashes on the container when
+    present — np.asarray on the device arrays would round-trip the
+    edge list device->host, which through the axon relay costs minutes
+    (the whole of round 1's 356s bench setup)."""
+    host = getattr(g, "_host_edges", None)
+    if host is not None:
+        send, recv = host
+    else:
+        recv = np.asarray(g.receivers)[: g.n_edges]
+        send = np.asarray(g.senders)[: g.n_edges]
 
     fwd = build_spmm_plan(recv, send, g.n_nodes, tile, block_rows)
 

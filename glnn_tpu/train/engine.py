@@ -297,6 +297,14 @@ def _subset_metrics(out, labels, idx):
 # Teacher runners
 # --------------------------------------------------------------------
 
+def _debug_guard(conf, loss, epoch, where):
+    """Opt-in (--debug_checks) per-epoch NaN guard (SURVEY.md §4/§5)."""
+    if conf.get("debug_checks"):
+        from glnn_tpu.utils.guards import assert_finite_loss
+
+        assert_finite_loss(loss, epoch, where)
+
+
 def run_transductive(conf, model, g, feats, labels, indices, optimizer,
                      logger, loss_and_score, state_out=None, g_struct=None):
     """Teacher training, transductive. Returns (out, score_val, score_test)
@@ -374,6 +382,7 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
                                   epoch_rng)
 
         timer.__exit__()
+        _debug_guard(conf, loss, epoch, "teacher tran runner")
         if epoch % conf["eval_interval"] == 0:
             if is_mlp:
                 out_train = eval_fn(state.params, state.batch_stats,
@@ -506,6 +515,7 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
                                   obs_idx_train, epoch_rng)
 
         timer.__exit__()
+        _debug_guard(conf, loss, epoch, "teacher ind runner")
         if epoch % conf["eval_interval"] == 0:
             if is_mlp:
                 out_all = eval_fn(state.params, state.batch_stats, feats)
@@ -609,6 +619,7 @@ def distill_run_transductive(conf, model, feats, labels, out_t_all,
         loss = float(loss_l) + float(loss_t)
 
         timer.__exit__()
+        _debug_guard(conf, loss, epoch, "distill runner")
         if epoch % conf["eval_interval"] == 0:
             out = eval_fn(state.params, state.batch_stats, feats)
             _, score_l = _subset_metrics(out, labels, idx_l)
@@ -689,6 +700,7 @@ def distill_run_inductive(conf, model, feats, labels, out_t_all,
         loss = float(loss_l) + float(loss_t)
 
         timer.__exit__()
+        _debug_guard(conf, loss, epoch, "distill runner")
         if epoch % conf["eval_interval"] == 0:
             out_all = eval_fn(state.params, state.batch_stats, feats)
             obs_out = out_all[idx_obs]
