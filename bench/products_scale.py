@@ -6,13 +6,17 @@ edges, 100 features, 47 classes) and measures the production teacher
 recipe (SAGE 3x256, batchnorm, fanout 5,10,15, batch 4096 —
 train.conf.yaml:196-204) end to end:
 
-  1. host ingest (COO -> device container)
-  2. one fanout-sampled training epoch (on-device sampler)
-  3. one full-graph chunked inference forward (the layer-wise
-     SAGE.inference analog)
+  1. host ingest (COO -> device container) + CHUNKED Pallas SpMM
+     plans (spmm_plan.build_chunked_plans: the 63M-slot gather splits
+     into 4M-slot block-range chunks so each chunk's message tensor
+     fits HBM — VERDICT r1 gap #4, no more 8M-edge cutoff)
+  2. one bare chunked-Pallas copy_u_sum at full scale
+  3. one fanout-sampled training epoch (on-device sampler)
+  4. one full-graph inference forward (the layer-wise SAGE.inference
+     analog; runs the chunked Pallas tier via ops dispatch)
 
-Prints one JSON line per stage. This is the de-risking harness for the
-BASELINE 'teacher epoch time on ogbn-products' metric.
+Prints one JSON line per stage and appends them to
+bench/products_scale_rN.json (the committed artifact).
 """
 
 from __future__ import annotations
@@ -50,6 +54,18 @@ def time_scalar(fn, *args, iters=2, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
+OUT_PATH = os.path.join(os.path.dirname(__file__), "products_scale_r2.json")
+_rows = []
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+    _rows.append(obj)
+    with open(OUT_PATH, "w") as f:
+        for r in _rows:
+            f.write(json.dumps(r) + "\n")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -69,8 +85,19 @@ def main():
     g = build_graph(src, dst, N)
     ingest_s = time.perf_counter() - t0
     del src, dst
-    print(json.dumps({"stage": "ingest", "seconds": round(ingest_s, 2),
-                      "host_gen_s": round(gen_s, 2)}), flush=True)
+    emit({"stage": "ingest", "seconds": round(ingest_s, 2),
+          "host_gen_s": round(gen_s, 2)})
+
+    t0 = time.perf_counter()
+    g = g.with_plans()
+    plan_s = time.perf_counter() - t0
+    from glnn_tpu.ops.spmm_plan import plan_slots
+    pf, pb = g.plans
+    emit({"stage": "chunked_plans", "seconds": round(plan_s, 2),
+          "fwd_chunks": len(pf) if isinstance(pf, tuple) else 1,
+          "bwd_chunks": len(pb) if isinstance(pb, tuple) else 1,
+          "slots": int(plan_slots(pf)),
+          "pad_frac": round(plan_slots(pf) / E - 1, 4)})
 
     # explicit device transfer stage (the dev relay has ~45s per-array
     # overhead; on a real TPU host this is PCIe-speed and negligible)
@@ -81,9 +108,22 @@ def main():
     g = jax.device_put(g)
     for leaf in jax.tree_util.tree_leaves((g, feats, labels, idx_train)):
         _ = float(jnp.asarray(leaf).ravel()[0])
-    print(json.dumps({"stage": "device_transfer",
-                      "seconds": round(time.perf_counter() - t0, 2)}),
-          flush=True)
+    emit({"stage": "device_transfer",
+          "seconds": round(time.perf_counter() - t0, 2)})
+
+    # bare chunked-Pallas SpMM at full products scale. The graph is a
+    # jit ARGUMENT: closing over it would embed the ~1GB of plan
+    # arrays as HLO constants (the remote-compile relay rejects the
+    # payload with HTTP 413).
+    from glnn_tpu import ops
+    spmm_s = time_scalar(
+        jax.jit(lambda gg, xx: ops.copy_u_sum(gg, xx)
+                .sum(dtype=jnp.float32)),
+        g, feats, iters=2, warmup=1)
+    emit({"stage": "pallas_spmm_full_graph", "seconds": round(spmm_s, 3),
+          "edges": E, "edges_per_s": round(E / spmm_s, 1),
+          "backend": "pallas_chunked"
+                     if jax.default_backend() == "tpu" else "interpret"})
 
     model = Model(dict(model_name="SAGE", num_layers=3, hidden_dim=256,
                        label_dim=C, dropout_ratio=0.5, norm_type="batch"))
@@ -95,11 +135,10 @@ def main():
     state = create_train_state(
         model.init(jax.random.PRNGKey(0), tiny, feats[:64]), opt)
     init_s = time.perf_counter() - t0
-    print(json.dumps({"stage": "init", "seconds": round(init_s, 2)}),
-          flush=True)
+    emit({"stage": "init", "seconds": round(init_s, 2)})
 
     epoch_fn = make_sage_sampled_epoch_fn(model, opt, BATCH, FANOUT)
-    print(json.dumps({"stage": "epoch_compile_start"}), flush=True)
+    emit({"stage": "epoch_compile_start"})
     t0 = time.perf_counter()
     state, loss, ovf = epoch_fn(state, g, feats, labels, idx_train,
                                 jax.random.PRNGKey(1))
@@ -108,19 +147,19 @@ def main():
     epoch_s = time_scalar(
         lambda s: epoch_fn(s, g, feats, labels, idx_train,
                            jax.random.PRNGKey(2))[1], state, iters=2)
-    print(json.dumps({
+    emit({
         "stage": "sampled_epoch", "seconds": round(epoch_s, 2),
         "first_call_s": round(compile_s, 2), "loss": round(loss_v, 4),
         "overflow": bool(ovf),
         "batches": -(-TRAIN // BATCH),
-    }), flush=True)
+    })
 
     eval_fn = make_eval_fn(model)
     ev_s = time_scalar(
         lambda: eval_fn(state.params, state.batch_stats, g, feats),
         iters=1)
-    print(json.dumps({"stage": "full_graph_eval", "seconds": round(ev_s, 2),
-                      "edges_per_s": round(3 * E / ev_s, 1)}), flush=True)
+    emit({"stage": "full_graph_eval", "seconds": round(ev_s, 2),
+          "edges_per_s": round(3 * E / ev_s, 1)})
 
 
 if __name__ == "__main__":

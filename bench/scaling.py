@@ -8,6 +8,12 @@ sharded path end-to-end and reports the partition statistics (halo
 fraction = the communication-volume proxy).
 
   python bench/scaling.py [--nodes 200000] [--avg_deg 14] [--feat 256]
+           [--partition contiguous|degree_balanced|rcm] [--out FILE]
+
+Each mesh size reports edges/s, scaling efficiency vs 1 device, the
+halo edge fraction (communication proxy) and the per-shard in-edge
+load balance under the chosen node relabeling. Results append to the
+--out JSONL artifact (committed as bench/scaling_rN.json).
 """
 
 from __future__ import annotations
@@ -30,6 +36,9 @@ def main():
     ap.add_argument("--feat", type=int, default=256)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU with 8 virtual devices")
+    ap.add_argument("--partition", default="degree_balanced",
+                    choices=["contiguous", "degree_balanced", "rcm"])
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,12 +55,39 @@ def main():
     from glnn_tpu.graph.container import build_graph
     from glnn_tpu.ops import refops
 
+    from glnn_tpu.distributed.partition import (
+        degree_balanced_order, inverse_permutation, shard_edge_balance)
+
     n, f = args.nodes, args.feat
     e = n * args.avg_deg
     rs = np.random.RandomState(0)
     src = rs.randint(0, n, e)
     dst = rs.randint(0, n, e)
     x = rs.randn(n, f).astype(np.float32)
+
+    rows = []
+
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+        rows.append(obj)
+        if args.out:
+            with open(args.out, "w") as fh:
+                for r in rows:
+                    fh.write(json.dumps(r) + "\n")
+
+    n_dev0 = len(jax.devices())
+    if args.partition == "degree_balanced":
+        deg = np.bincount(dst, minlength=n)
+        order = degree_balanced_order(deg, max(
+            p for p in (1, 2, 4, 8) if p <= n_dev0))
+        new_id = inverse_permutation(order)
+        src, dst, x = new_id[src], new_id[dst], x[order]
+    elif args.partition == "rcm":
+        from glnn_tpu.graph.host import HostGraph, rcm_ordering
+
+        order = rcm_ordering(HostGraph(src, dst, n))
+        new_id = inverse_permutation(order)
+        src, dst, x = new_id[src], new_id[dst], x[order]
 
     def timed(fn, *a, iters=4):
         s = float(fn(*a))
@@ -77,18 +113,25 @@ def main():
         tp = timed(fp, xs)
         halo_frac = 1.0 - hg.e_local / max(hg.e_local + hg.e_halo, 1)
         results[p] = e / tp
-        print(json.dumps({
+        emit({
             "shards": p,
             "edges_per_s": round(e / tp, 1),
             "scaling_efficiency": round((e / tp) / (results[1] * p), 4),
             "halo_edge_fraction": round(halo_frac, 4),
-        }), flush=True)
+            "edge_balance_max_over_mean": round(
+                shard_edge_balance(dst, n, p), 4),
+        })
 
-    print(json.dumps({
+    emit({
         "metric": "edges_per_s_scaling",
         "baseline_1dev": round(results[1], 1),
         "devices": n_dev,
-    }))
+        "partition": args.partition,
+        "graph": f"uniform N={n} E={e} F={f}",
+        "note": ("virtual CPU mesh: efficiency numbers share one host "
+                 "and understate real multi-chip scaling; halo fraction "
+                 "and balance are exact" if args.cpu else "tpu"),
+    })
 
 
 if __name__ == "__main__":

@@ -90,9 +90,13 @@ def run(args):
     loss_and_score = []
     state_out = {} if args.save_results else None
     n_shards = int(conf.get("n_shards", 1) or 1)
-    # GNN teachers get the Pallas SpMM plan; MLP never touches the graph.
+    # GNN teachers get the Pallas SpMM plan; MLP never touches the
+    # graph. GAT additionally gets the segment-softmax plan
+    # (ops/softmax_plan.py) so its attention normalization runs the
+    # Pallas tier too.
     build_plans = not model.is_mlp
-    G = g.to_device(build_plans=build_plans)
+    smx_plans = build_plans and "GAT" in str(conf.get("model_name", ""))
+    G = g.to_device(build_plans=build_plans, softmax_plans=smx_plans)
 
     def _to_halo(host_g, want_plans):
         """Graph-partitioned halo view over the first n_shards devices
@@ -124,7 +128,8 @@ def run(args):
         indices = graph_split(idx_train, idx_val, idx_test, args.split_rate,
                               args.seed)
         obs_g = g.subgraph(indices[3])
-        obs_G = obs_g.to_device(build_plans=not model.is_mlp)
+        obs_G = obs_g.to_device(build_plans=build_plans,
+                                softmax_plans=smx_plans)
         if args.feature_aug_k > 0:
             idx_obs = indices[3]
             obs_feats = np.asarray(

@@ -33,3 +33,50 @@ def edge_cut_fraction(src: np.ndarray, dst: np.ndarray,
     the halo traffic proxy used by the partition benchmarks."""
     shard_of = np.searchsorted(bounds, np.arange(bounds[-1]), side="right") - 1
     return float((shard_of[src] != shard_of[dst]).mean())
+
+
+def degree_balanced_order(in_degrees: np.ndarray, n_shards: int
+                          ) -> np.ndarray:
+    """Node relabeling for edge-balanced equal-size shards.
+
+    TPU row sharding splits the (padded) node axis into EQUAL blocks,
+    so balancing cannot move the boundaries — instead it permutes node
+    ids: greedy LPT assignment (heaviest in-degree first, least-loaded
+    shard with free capacity) packs ~E/P dst-edges into each block.
+
+    Returns `order`: old node ids in their new order (shard 0's nodes
+    first). Relabel a graph with `new_id = inverse_permutation(order)`;
+    `new_id[v]` is v's new id.
+    """
+    import heapq
+
+    deg = np.asarray(in_degrees, np.int64)
+    n = deg.shape[0]
+    cap = -(-n // n_shards)
+    by_deg = np.argsort(-deg, kind="stable")
+    buckets: list[list[int]] = [[] for _ in range(n_shards)]
+    heap = [(0, p) for p in range(n_shards)]
+    heapq.heapify(heap)
+    # total capacity P*cap >= n, so the heap never empties before every
+    # node is assigned; full buckets simply stop being pushed back
+    for v in by_deg:
+        load, p = heapq.heappop(heap)
+        buckets[p].append(v)
+        if len(buckets[p]) < cap:
+            heapq.heappush(heap, (load + int(deg[v]), p))
+    return np.concatenate([np.asarray(b, np.int64) for b in buckets])
+
+
+def inverse_permutation(order: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(np.asarray(order, np.int64))
+    inv[order] = np.arange(len(order))
+    return inv
+
+
+def shard_edge_balance(dst: np.ndarray, n_nodes: int,
+                       n_shards: int) -> float:
+    """max/mean in-edge load across equal node blocks (1.0 = perfect)."""
+    rows = -(-n_nodes // n_shards)
+    loads = np.bincount(np.asarray(dst, np.int64) // rows,
+                        minlength=n_shards)
+    return float(loads.max() / max(loads.mean(), 1e-9))

@@ -28,7 +28,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["senders", "receivers", "indptr", "edge_weight",
-                 "in_degrees", "out_degrees", "plans"],
+                 "in_degrees", "out_degrees", "plans", "smx"],
     meta_fields=["n_nodes", "n_edges"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -60,12 +60,24 @@ class Graph:
     # optional (forward, backward) SpmmPlan pair for the Pallas kernel
     # tier (ops/spmm_plan.py); None keeps the pure-XLA path.
     plans: tuple | None = None
+    # optional SoftmaxPlan for the Pallas segment-softmax tier (GAT
+    # attention, ops/softmax_plan.py); built on request only.
+    smx: object | None = None
 
-    def with_plans(self, tile: int = 512, block_rows: int = 512) -> "Graph":
+    def with_plans(self, tile: int = 512, block_rows: int = 512,
+                   softmax: bool = False) -> "Graph":
         from glnn_tpu.ops.spmm_plan import plan_for_graph
 
         g = dataclasses.replace(self, plans=plan_for_graph(
             self, tile=tile, block_rows=block_rows))
+        if softmax:
+            from glnn_tpu.ops.softmax_plan import build_softmax_plan
+
+            host = getattr(self, "_host_edges", None)
+            rec = (host[1] if host is not None
+                   else np.asarray(self.receivers)[: self.n_edges])
+            g = dataclasses.replace(g, smx=build_softmax_plan(
+                rec, self.n_nodes, tile=tile, block_rows=block_rows))
         host = getattr(self, "_host_edges", None)
         if host is not None:         # keep the host edge cache alive
             object.__setattr__(g, "_host_edges", host)

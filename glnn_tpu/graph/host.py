@@ -118,14 +118,17 @@ class HostGraph:
 
     # -- device handoff ----------------------------------------------
     def to_device(self, pad_to: int | None = None,
-                  build_plans: bool = False) -> Graph:
+                  build_plans: bool = False,
+                  softmax_plans: bool = False) -> Graph:
         if self._device_graph is None or pad_to is not None:
             g = build_graph(self.src, self.dst, self.n_nodes, pad_to=pad_to)
             if build_plans:
-                g = g.with_plans()
+                g = g.with_plans(softmax=softmax_plans)
             self._device_graph = g
-        elif build_plans and self._device_graph.plans is None:
-            self._device_graph = self._device_graph.with_plans()
+        elif build_plans and (self._device_graph.plans is None or (
+                softmax_plans and self._device_graph.smx is None)):
+            self._device_graph = self._device_graph.with_plans(
+                softmax=softmax_plans)
         return self._device_graph
 
 

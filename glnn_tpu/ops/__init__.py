@@ -54,9 +54,10 @@ def copy_u_sum(g, x):
         from glnn_tpu.distributed.halo import halo_copy_u_sum
 
         return halo_copy_u_sum(g, x)
-    # order matters: the Pallas tier materializes bf16 messages (half
-    # the bytes), so it stays viable well past the f32 chunking cutoff
-    if _use_pallas(g, x) and not _oversized(g, x, itemsize=2):
+    # no size cutoff: plans above the slot budget arrive pre-chunked
+    # (spmm_plan.build_chunked_plans), so ogbn-products-scale graphs
+    # run the Pallas tier too (VERDICT r1 gap #4)
+    if _use_pallas(g, x):
         from glnn_tpu.ops import spmm_pallas
 
         if _BACKEND == "pallas_int8":
@@ -96,6 +97,12 @@ def edge_softmax(g, scores):
         from glnn_tpu.distributed.halo import halo_edge_softmax
 
         return halo_edge_softmax(g, scores)
+    if (getattr(g, "smx", None) is not None and _BACKEND != "xla"
+            and (_BACKEND in ("pallas", "pallas_int8")
+                 or jax.default_backend() == "tpu")):
+        from glnn_tpu.ops import softmax_pallas
+
+        return softmax_pallas.edge_softmax(g, scores)
     return _ref.edge_softmax(g, scores)
 
 

@@ -137,6 +137,25 @@ def _ghost_extend(x: jax.Array) -> jax.Array:
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
 
+def _chunks(plan):
+    """A plan is either one SpmmPlan or a tuple of block-range chunk
+    plans (ops/spmm_plan.py build_chunked_plans — products-scale
+    graphs whose E x F message tensor would blow past HBM)."""
+    return plan if isinstance(plan, tuple) else (plan,)
+
+
+def _e_orig(plan) -> int:
+    return _chunks(plan)[0].e_orig
+
+
+def _reduce_chunks(plan, gather_fn, n_out: int) -> jax.Array:
+    """gather+reduce each chunk; chunk outputs cover disjoint
+    contiguous row ranges, so concatenation is the whole merge."""
+    parts = [segment_reduce(p, gather_fn(p)) for p in _chunks(plan)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out[:n_out]
+
+
 _MESSAGE_DTYPE = jnp.bfloat16  # halves the dominant HBM traffic
                                # (gather-materialize of E x F messages);
                                # f32 output accumulation stays exact.
@@ -154,7 +173,8 @@ def _gather_messages(plan: SpmmPlan, x: jax.Array) -> jax.Array:
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _spmm(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan, x: jax.Array,
           n_nodes: int) -> jax.Array:
-    out = segment_reduce(plan_fwd, _gather_messages(plan_fwd, x))[:n_nodes]
+    out = _reduce_chunks(plan_fwd, lambda p: _gather_messages(p, x),
+                         n_nodes)
     return out.astype(x.dtype)
 
 
@@ -165,7 +185,8 @@ def _spmm_fwd(plan_fwd, plan_bwd, x, n_nodes):
 def _spmm_bwd(n_nodes, res, dh):
     plan_fwd, plan_bwd = res
     # dh dtype == primal output dtype == x dtype (cast in _spmm)
-    dx = segment_reduce(plan_bwd, _gather_messages(plan_bwd, dh))[:n_nodes]
+    dx = _reduce_chunks(plan_bwd, lambda p: _gather_messages(p, dh),
+                        n_nodes)
     return None, None, dx.astype(dh.dtype)
 
 
@@ -213,8 +234,8 @@ def _gather_weighted(plan: SpmmPlan, x: jax.Array, w: jax.Array
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _spmm_weighted(plan_fwd, plan_bwd, senders, receivers, x, w, n_nodes):
-    out = segment_reduce(plan_fwd, _gather_weighted(plan_fwd, x, w))
-    out = out[:n_nodes]
+    out = _reduce_chunks(plan_fwd, lambda p: _gather_weighted(p, x, w),
+                         n_nodes)
     if w.ndim == 2:
         out = out.reshape(n_nodes, w.shape[1], x.shape[-1])
     return out.astype(x.dtype)
@@ -232,15 +253,15 @@ def _spmm_weighted_bwd(n_nodes, res, dh):
     # dX[u] = sum_{e: src=u} w_e dH[dst_e]: the same weighted reduce on
     # the transposed plan (its edge_perm is composed back into the
     # original dst-sorted order, so the weight gather is shared).
-    dx = segment_reduce(plan_bwd, _gather_weighted(plan_bwd, dh, w))
-    dx = dx[:n_nodes]
+    dx = _reduce_chunks(plan_bwd, lambda p: _gather_weighted(p, dh, w),
+                        n_nodes)
     if w.ndim == 2:
         dx = dx.reshape(n_nodes, w.shape[1], x.shape[-1])
     dx = dx.astype(x.dtype)
 
     # dW_e = <x[src_e], dH[dst_e]> per edge (per head): an SDDMM over
     # the real edges, done with two XLA row-gathers (E x F).
-    e_orig = plan_fwd.e_orig
+    e_orig = _e_orig(plan_fwd)
     src_e = senders[:e_orig]
     dst_e = receivers[:e_orig]
     if w.ndim == 2:
@@ -267,7 +288,7 @@ _spmm_weighted.defvjp(_spmm_weighted_fwd, _spmm_weighted_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def spmm_rect(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan, x: jax.Array,
               n_out: int, n_in: int) -> jax.Array:
-    out = segment_reduce(plan_fwd, _gather_messages(plan_fwd, x))[:n_out]
+    out = _reduce_chunks(plan_fwd, lambda p: _gather_messages(p, x), n_out)
     return out.astype(x.dtype)
 
 
@@ -278,7 +299,7 @@ def _rect_fwd(plan_fwd, plan_bwd, x, n_out, n_in):
 
 def _rect_bwd(n_out, n_in, res, dh):
     plan_fwd, plan_bwd = res
-    dx = segment_reduce(plan_bwd, _gather_messages(plan_bwd, dh))[:n_in]
+    dx = _reduce_chunks(plan_bwd, lambda p: _gather_messages(p, dh), n_in)
     return None, None, dx.astype(dh.dtype)
 
 
@@ -312,8 +333,8 @@ def _spmm_int8(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan, x: jax.Array,
     q, s = _quantize_cols(x)
     q_ext = jnp.concatenate([q, jnp.zeros((1, q.shape[1]), jnp.int8)],
                             axis=0)
-    m = jnp.take(q_ext, plan_fwd.src_idx, axis=0)
-    out = segment_reduce(plan_fwd, m)[:n_nodes]
+    out = _reduce_chunks(
+        plan_fwd, lambda p: jnp.take(q_ext, p.src_idx, axis=0), n_nodes)
     return (out.astype(jnp.float32) * s[None, :]).astype(x.dtype)
 
 
@@ -323,7 +344,8 @@ def _spmm_int8_fwd(plan_fwd, plan_bwd, x, n_nodes):
 
 def _spmm_int8_bwd(n_nodes, res, dh):
     plan_fwd, plan_bwd = res
-    dx = segment_reduce(plan_bwd, _gather_messages(plan_bwd, dh))[:n_nodes]
+    dx = _reduce_chunks(plan_bwd, lambda p: _gather_messages(p, dh),
+                        n_nodes)
     return None, None, dx.astype(dh.dtype)
 
 
@@ -343,6 +365,6 @@ def u_mul_e_sum(g: Graph, x: jax.Array, e: jax.Array) -> jax.Array:
     attention, all heads folded into one kernel call). `e` follows the
     container's dst-sorted edge order; padding entries ignored."""
     plan_fwd, plan_bwd = g.plans
-    w = e[: plan_fwd.e_orig]
+    w = e[: _e_orig(plan_fwd)]
     return _spmm_weighted(plan_fwd, plan_bwd, g.senders, g.receivers, x, w,
                           g.n_nodes)

@@ -34,7 +34,8 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["src_idx", "edge_perm", "rec_local", "block_id"],
-    meta_fields=["tile", "block_rows", "num_blocks", "num_tiles", "e_orig"],
+    meta_fields=["tile", "block_rows", "num_blocks", "num_tiles", "e_orig",
+                 "row0"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpmmPlan:
@@ -60,12 +61,25 @@ class SpmmPlan:
     num_blocks: int
     num_tiles: int
     e_orig: int
+    # first output row this plan covers (chunked plans partition the
+    # dst-block range; single plans have row0 == 0)
+    row0: int = 0
+
+
+def plan_to_device(plan: SpmmPlan) -> SpmmPlan:
+    """Move a host-built plan's arrays onto the device (one shot)."""
+    return dataclasses.replace(
+        plan, src_idx=jnp.asarray(plan.src_idx),
+        edge_perm=jnp.asarray(plan.edge_perm),
+        rec_local=jnp.asarray(plan.rec_local),
+        block_id=jnp.asarray(plan.block_id))
 
 
 def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
                     n_nodes: int, tile: int = 512,
                     block_rows: int = 512,
-                    n_src: int | None = None) -> SpmmPlan:
+                    n_src: int | None = None,
+                    device: bool = True) -> SpmmPlan:
     """Plan over dst-sorted (receivers, senders) of real edges only.
 
     `n_src` (default n_nodes) sets the ghost source-row id for
@@ -102,17 +116,18 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
                                          block_rows)
         if arrays is not None:
             src_idx, edge_perm, rec_local, block_id = arrays
-            return SpmmPlan(
-                src_idx=jnp.asarray(src_idx),
-                edge_perm=jnp.asarray(edge_perm),
-                rec_local=jnp.asarray(rec_local),
-                block_id=jnp.asarray(block_id),
+            plan = SpmmPlan(
+                src_idx=src_idx,
+                edge_perm=edge_perm,
+                rec_local=rec_local,
+                block_id=block_id,
                 tile=tile,
                 block_rows=block_rows,
                 num_blocks=int(num_blocks),
                 num_tiles=int(block_id.shape[0]),
                 e_orig=int(n_edges),
             )
+            return plan_to_device(plan) if device else plan
     starts = np.searchsorted(rec // block_rows, np.arange(num_blocks), "left")
     ends = np.searchsorted(rec // block_rows, np.arange(num_blocks), "right")
     counts = ends - starts
@@ -149,17 +164,103 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
     edge_perm = take(edge_perm, order, axis=1)
     rec_local = take(rec_local, order, axis=1)
 
-    return SpmmPlan(
-        src_idx=jnp.asarray(src_idx.reshape(-1)),
-        edge_perm=jnp.asarray(edge_perm.reshape(-1)),
-        rec_local=jnp.asarray(rec_local),
-        block_id=jnp.asarray(tile_block.astype(np.int32)),
+    plan = SpmmPlan(
+        src_idx=src_idx.reshape(-1),
+        edge_perm=edge_perm.reshape(-1),
+        rec_local=rec_local,
+        block_id=tile_block.astype(np.int32),
         tile=tile,
         block_rows=block_rows,
         num_blocks=int(num_blocks),
         num_tiles=num_tiles,
         e_orig=int(n_edges),
     )
+    return plan_to_device(plan) if device else plan
+
+
+# Slot budget per chunk plan: bounds the materialized message tensor
+# (slots x F_pad x 2B bf16). 4M slots = 2 GiB at F_pad=256 — safely
+# inside v5e HBM next to products-scale features + activations.
+MAX_SLOTS_PER_CHUNK = 4 * 1024 * 1024
+
+
+def build_chunked_plans(receivers: np.ndarray, senders: np.ndarray,
+                        n_nodes: int, tile: int = 512,
+                        block_rows: int = 512, n_src: int | None = None,
+                        max_slots: int = MAX_SLOTS_PER_CHUNK,
+                        edge_base: int = 0, e_global: int | None = None,
+                        device: bool = True):
+    """Plan a dst-sorted edge list as one SpmmPlan, or — when the slot
+    count exceeds `max_slots` — a TUPLE of chunk plans cut at dst-BLOCK
+    boundaries (SURVEY.md §2.3 row 1 at ogbn-products scale, where the
+    materialized E x F message tensor would blow past HBM).
+
+    Chunks own disjoint, contiguous block ranges, so the caller simply
+    concatenates chunk outputs — no scatter, no overlap accumulation.
+    Each chunk's `rec_local`/`block_id` are chunk-relative and `row0`
+    records its first global output row; `edge_perm` stays GLOBAL
+    (ghost = e_global) so per-edge weight gathers work unchunked.
+    A single block whose edges alone exceed the budget becomes its own
+    oversized chunk (blocks are never split)."""
+    rec = np.asarray(receivers, np.int64)
+    snd = np.asarray(senders, np.int64)
+    if e_global is None:
+        e_global = int(rec.shape[0]) + edge_base
+    counts = np.bincount(rec // block_rows,
+                         minlength=-(-n_nodes // block_rows)).astype(np.int64)
+    slots_per_block = np.maximum(-(-counts // tile), 1) * tile
+    if slots_per_block.sum() <= max_slots:
+        plan = build_spmm_plan(rec, snd, n_nodes, tile, block_rows,
+                               n_src=n_src, device=False)
+        plan = _globalize_edge_perm(plan, edge_base, e_global)
+        return plan_to_device(plan) if device else plan
+
+    # greedy block packing into <= max_slots chunks
+    chunks = []
+    b0 = 0
+    acc = 0
+    num_blocks = slots_per_block.shape[0]
+    block_edge_end = np.cumsum(counts)
+    for b in range(num_blocks):
+        if acc and acc + slots_per_block[b] > max_slots:
+            chunks.append((b0, b))
+            b0, acc = b, 0
+        acc += slots_per_block[b]
+    chunks.append((b0, num_blocks))
+
+    plans = []
+    for cb0, cb1 in chunks:
+        e0 = int(block_edge_end[cb0 - 1]) if cb0 else 0
+        e1 = int(block_edge_end[cb1 - 1])
+        rows = (cb1 - cb0) * block_rows
+        sub = build_spmm_plan(rec[e0:e1] - cb0 * block_rows, snd[e0:e1],
+                              rows, tile, block_rows, n_src=n_src,
+                              device=False)
+        sub = _globalize_edge_perm(sub, edge_base + e0, e_global)
+        sub = dataclasses.replace(sub, row0=cb0 * block_rows)
+        plans.append(plan_to_device(sub) if device else sub)
+    return tuple(plans)
+
+
+def _globalize_edge_perm(plan: SpmmPlan, edge_base: int,
+                         e_global: int) -> SpmmPlan:
+    """Rebase a HOST plan's local edge ids into the global edge space
+    (ghost slots -> e_global). numpy in, numpy out — never touch
+    device arrays here (a device->host fetch through the relay costs
+    minutes at products scale)."""
+    if edge_base == 0 and e_global == plan.e_orig:
+        return plan
+    perm = plan.edge_perm
+    out = np.where(perm < plan.e_orig, perm + edge_base,
+                   e_global).astype(np.int32)
+    return dataclasses.replace(plan, edge_perm=out, e_orig=int(e_global))
+
+
+def plan_slots(plan) -> int:
+    """Total gather slots of a plan or chunk tuple."""
+    if isinstance(plan, tuple):
+        return sum(p.num_tiles * p.tile for p in plan)
+    return plan.num_tiles * plan.tile
 
 
 def pad_plan_tiles(plan: SpmmPlan, num_tiles: int, n_src: int) -> SpmmPlan:
@@ -238,7 +339,8 @@ def plan_pair_for_edges(senders: np.ndarray, receivers: np.ndarray,
     return fwd, bwd
 
 
-def plan_for_graph(g, tile: int = 512, block_rows: int = 512):
+def plan_for_graph(g, tile: int = 512, block_rows: int = 512,
+                   max_slots: int = MAX_SLOTS_PER_CHUNK):
     """(forward, backward) plans for a Graph container. Forward reduces
     over dst; backward reduces over src (for dX = A^T dH), with
     edge_perm composed back into the original dst-sorted edge order.
@@ -254,15 +356,29 @@ def plan_for_graph(g, tile: int = 512, block_rows: int = 512):
         recv = np.asarray(g.receivers)[: g.n_edges]
         send = np.asarray(g.senders)[: g.n_edges]
 
-    fwd = build_spmm_plan(recv, send, g.n_nodes, tile, block_rows)
+    fwd = build_chunked_plans(recv, send, g.n_nodes, tile, block_rows,
+                              max_slots=max_slots, device=False)
 
     order = np.argsort(send, kind="stable").astype(np.int64)
-    bwd = build_spmm_plan(send[order], recv[order], g.n_nodes, tile,
-                          block_rows)
-    perm = np.asarray(bwd.edge_perm)
-    real = perm < g.n_edges
-    composed = np.full_like(perm, g.n_edges)
-    composed[real] = order[perm[real]]
-    bwd = dataclasses.replace(bwd,
-                              edge_perm=jnp.asarray(composed.astype(np.int32)))
-    return fwd, bwd
+    bwd = build_chunked_plans(send[order], recv[order], g.n_nodes, tile,
+                              block_rows, max_slots=max_slots,
+                              device=False)
+
+    def compose(p):
+        # map bwd slot edge ids (positions in the src-sorted order)
+        # back to ORIGINAL dst-sorted edge ids, so per-edge weight
+        # gathers share one edge numbering across both directions.
+        # Host arrays only (see _globalize_edge_perm).
+        perm = p.edge_perm
+        real = perm < g.n_edges
+        composed = np.full_like(perm, g.n_edges)
+        composed[real] = order[perm[real]]
+        return dataclasses.replace(p, edge_perm=composed.astype(np.int32))
+
+    def ship(p):
+        return (tuple(plan_to_device(q) for q in p)
+                if isinstance(p, tuple) else plan_to_device(p))
+
+    bwd = (tuple(compose(p) for p in bwd) if isinstance(bwd, tuple)
+           else compose(bwd))
+    return ship(fwd), ship(bwd)

@@ -236,3 +236,180 @@ def test_int8_tier_close_on_floats():
     deg = np.asarray(g.in_degrees)[:, None]
     bound = (np.abs(x).max(axis=0) / 254.0)[None, :] * np.maximum(deg, 1)
     assert (np.abs(got - want) <= bound + 1e-5).all()
+
+
+# --------------------------------------------------------------------
+# Chunked plans (products-scale streaming: spmm_plan.build_chunked_plans)
+# --------------------------------------------------------------------
+
+
+def _chunked_graph(n=700, e=6000, seed=3, max_slots=1024, tile=128,
+                   block_rows=64):
+    import dataclasses
+
+    from glnn_tpu.ops.spmm_plan import plan_for_graph
+
+    g = _graph(n=n, e=e, seed=seed)
+    plans = plan_for_graph(g, tile=tile, block_rows=block_rows,
+                           max_slots=max_slots)
+    return dataclasses.replace(g, plans=plans)
+
+
+def test_chunked_plan_structure():
+    g = _chunked_graph()
+    pf, pb = g.plans
+    assert isinstance(pf, tuple) and len(pf) > 2
+    # chunks partition the block range contiguously
+    rows = 0
+    for p in pf:
+        assert p.row0 == rows
+        rows += p.num_blocks * p.block_rows
+    assert rows >= g.n_nodes
+    # every real edge appears exactly once across chunks (global ids)
+    perm = np.concatenate([np.asarray(p.edge_perm) for p in pf])
+    real = perm[perm < g.n_edges]
+    assert len(real) == g.n_edges == len(np.unique(real))
+    assert all(p.e_orig == g.n_edges for p in pf)
+
+
+def test_chunked_forward_and_grad_match_refops():
+    g = _chunked_graph()
+    x = jnp.asarray(np.random.RandomState(5).randn(g.n_nodes, 32)
+                    .astype(np.float32))
+    want = refops.copy_u_sum(g, x)
+    got = sp.copy_u_sum(g, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+    g_want = jax.grad(lambda xx: (refops.copy_u_sum(g, xx) ** 2).sum())(x)
+    g_got = jax.grad(lambda xx: (sp.copy_u_sum(g, xx) ** 2).sum())(x)
+    scale = float(np.sqrt(np.mean(np.asarray(g_want) ** 2)))
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=5e-2, atol=2e-2 * scale)
+
+
+def test_chunked_weighted_matches_refops():
+    g = _chunked_graph(e=4000)
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(g.n_nodes, 16).astype(np.float32))
+    w = jnp.asarray(rs.rand(g.e_pad).astype(np.float32))
+    want = refops.u_mul_e_sum(g, x, w)
+    got = sp.u_mul_e_sum(g, x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    # gradient w.r.t. the edge weights exercises the global edge_perm
+    def loss(fn, ww):
+        return (fn(g, x, ww) ** 2).sum()
+    dw_want = jax.grad(lambda ww: loss(refops.u_mul_e_sum, ww))(w)
+    dw_got = jax.grad(lambda ww: loss(sp.u_mul_e_sum, ww))(w)
+    scale = float(np.sqrt(np.mean(np.asarray(dw_want) ** 2)) + 1e-6)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_want),
+                               rtol=5e-2, atol=3e-2 * scale)
+
+
+def test_chunked_int8_close():
+    from glnn_tpu.ops.spmm_pallas import copy_u_sum_int8
+
+    g = _chunked_graph()
+    x = jnp.asarray(np.random.RandomState(9).randn(g.n_nodes, 32)
+                    .astype(np.float32))
+    want = np.asarray(refops.copy_u_sum(g, x))
+    got = np.asarray(copy_u_sum_int8(g, x))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    assert err < 0.05, err
+
+
+# --------------------------------------------------------------------
+# Pallas segment softmax (GAT attention; ops/softmax_pallas.py)
+# --------------------------------------------------------------------
+
+
+def _smx_graph(n=300, e=2500, seed=4, tile=128, block_rows=64):
+    import dataclasses
+
+    from glnn_tpu.ops.softmax_plan import build_softmax_plan
+
+    g = _graph(n=n, e=e, seed=seed)
+    host = getattr(g, "_host_edges", None)
+    smx = build_softmax_plan(host[1], n, tile=tile, block_rows=block_rows)
+    return dataclasses.replace(g, smx=smx)
+
+
+def test_segment_softmax_matches_refops():
+    from glnn_tpu.ops import softmax_pallas as smp
+
+    g = _smx_graph()
+    rs = np.random.RandomState(11)
+    for shape in [(g.e_pad,), (g.e_pad, 4)]:
+        scores = jnp.asarray(rs.randn(*shape).astype(np.float32) * 3)
+        want = np.asarray(refops.edge_softmax(g, scores))
+        got = np.asarray(smp.edge_softmax(g, scores))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_segment_softmax_extreme_scores_stable():
+    """Large positive/negative logits must not overflow (the in-kernel
+    max subtraction carries the stability)."""
+    from glnn_tpu.ops import softmax_pallas as smp
+
+    g = _smx_graph(e=900)
+    rs = np.random.RandomState(13)
+    scores = jnp.asarray(rs.choice([-80.0, 0.0, 75.0], (g.e_pad, 2))
+                         .astype(np.float32))
+    got = np.asarray(smp.edge_softmax(g, scores))
+    want = np.asarray(refops.edge_softmax(g, scores))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_segment_softmax_grad_matches_refops():
+    from glnn_tpu.ops import softmax_pallas as smp
+
+    g = _smx_graph(e=1500)
+    rs = np.random.RandomState(17)
+    scores = jnp.asarray(rs.randn(g.e_pad, 2).astype(np.float32))
+    w = jnp.asarray(rs.randn(g.e_pad, 2).astype(np.float32))
+
+    def loss(fn, s):
+        return (fn(g, s) * w).sum()
+
+    d_want = np.asarray(jax.grad(lambda s: loss(refops.edge_softmax, s))(
+        scores))
+    d_got = np.asarray(jax.grad(lambda s: loss(smp.edge_softmax, s))(
+        scores))
+    np.testing.assert_allclose(d_got, d_want, rtol=1e-4, atol=1e-6)
+
+
+def test_gat_forward_with_planned_softmax_matches_xla():
+    """Full GAT forward: planned softmax + planned weighted aggregation
+    vs the pure-XLA tier."""
+    import dataclasses
+
+    from glnn_tpu import ops as gops
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.ops.softmax_plan import build_softmax_plan
+
+    g = _graph(n=200, e=1600, seed=21).with_plans(tile=128, block_rows=64)
+    host = getattr(g, "_host_edges", None)
+    g = dataclasses.replace(g, smx=build_softmax_plan(
+        host[1], g.n_nodes, tile=128, block_rows=64))
+    x = jnp.asarray(np.random.RandomState(22).randn(g.n_nodes, 16)
+                    .astype(np.float32))
+    conf = dict(model_name="GAT", num_layers=2, hidden_dim=16,
+                label_dim=5, dropout_ratio=0.0, attn_dropout_ratio=0.0,
+                norm_type="none", num_heads=4)
+    model = Model(conf)
+    variables = model.init(jax.random.PRNGKey(0), g, x)
+
+    gops.set_backend("xla")
+    try:
+        want = model.apply(variables, g, x, training=False)[1]
+    finally:
+        gops.set_backend("auto")
+    gops.set_backend("pallas")
+    try:
+        got = model.apply(variables, g, x, training=False)[1]
+    finally:
+        gops.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
