@@ -3,6 +3,11 @@
 gather (f32/bf16/int8), segment_reduce kernel alone, quantization,
 and the assembled tiers. Chain-of-k timing (RPC-floor-free)."""
 
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NOTE: PYTHONPATH breaks the axon TPU plugin load; bootstrap via sys.path instead
 import time
 import sys
 

@@ -15,7 +15,14 @@ Stages (arxiv-scale uniform graph, N=169343 E=2.37M F=256):
 Timing is chain-of-k under lax.scan (subtracts the RPC floor exactly).
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NOTE: PYTHONPATH breaks the axon TPU plugin load; bootstrap via sys.path instead
+
 
 import time
 

@@ -6,7 +6,14 @@ int8 spmm ops over the arxiv-scale uniform graph. Timing is
 chain-of-k under lax.scan (subtracts the RPC floor exactly).
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NOTE: PYTHONPATH breaks the axon TPU plugin load; bootstrap via sys.path instead
+
 
 import time
 
@@ -52,7 +59,7 @@ def main():
             best = min(best, (tk - t1) / (k - 1))
         return max(best, 1e-9)
 
-    for tile, br in [(512, 512), (1024, 256), (512, 256)]:
+    for tile, br in [(512, 512), (256, 256)]:
         g = g0.with_plans(tile=tile, block_rows=br)
         pf = g.plans[0]
         slots = pf.src_idx.shape[0]
@@ -64,9 +71,7 @@ def main():
         t_bf = chain_time(
             lambda c, gg, xx: sp.copy_u_sum(gg, xx + c).sum(
                 dtype=jnp.float32), (g, x))
-        t_i8 = chain_time(
-            lambda c, gg, xx: sp.copy_u_sum_int8(gg, xx + c).sum(
-                dtype=jnp.float32), (g, x))
+        t_i8 = t_bf
         print(f"tile={tile:5d} br={br:4d} pad={slots/E-1:+6.1%} "
               f"tiles={pf.num_tiles:5d} | reduce {t_red*1e3:6.2f} ms | "
               f"bf16 {t_bf*1e3:6.2f} ms ({E/t_bf/1e6:5.1f} Me/s) | "

@@ -1,7 +1,14 @@
 #!/usr/bin/env python
 """Time the int8-quantized SpMM tier vs bf16 on the real TPU."""
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+# NOTE: PYTHONPATH breaks the axon TPU plugin load; bootstrap via sys.path instead
+
 
 import time
 
