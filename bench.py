@@ -12,21 +12,29 @@ timed in the same run (E / t_gather). No implementation of a
 gather-based SpMM can beat the bare gather of its input on this
 part: the HBM random-row access rate (~250M rows/s / ~132 GB/s on
 v5e, PERF.md) binds it, not the spec bandwidth. The aspirational
-HBM roofline — (E + 2N) * F * 4 bytes at spec bandwidth (v5e
-~819 GB/s), a model in which even the E random row reads stream at
-spec — is carried in extras as `roofline_edges_per_s` /
-`vs_hbm_roofline`; it is unreachable by ~3x for ANY ordering of
-this graph's random accesses (measured: sorted gather is only 12%
-faster than shuffled). Off-TPU (no measured gather), vs_baseline
-falls back to the roofline ratio.
+HBM roofline — (E + 2N) * F * 4 bytes at spec bandwidth — is carried
+in extras as `roofline_edges_per_s` / `vs_hbm_roofline`; it is
+unreachable by ~3x for ANY ordering of this graph's random accesses.
+Off-TPU (no measured gather), vs_baseline falls back to the roofline
+ratio.
 
-Extras carried in the same JSON object: full-batch GCN teacher step
-time and MLP student epoch time on the same graph.
+Stage order (the end-to-end timings BASELINE.md cares about run
+BEFORE any comparator, so a slow setup can only starve diagnostics):
+  setup -> pallas spmm (headline) -> bare gather (the headline's
+  denominator) -> gcn teacher step -> sage sampled epoch -> mlp
+  student epoch -> gat teacher step -> xla/int8 comparator spmms.
+
+Setup ships the graph + Pallas plans as ONE packed device upload
+(utils/packing.py) and generates features/labels/indices ON DEVICE —
+round 2 shipped ~15 arrays through the axon relay at ~45s each
+(963s of pure transfer) and every end-to-end stage died on the
+deadline.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -83,7 +91,10 @@ def measure_rpc_floor():
     return time_scalar(f, z, iters=10, warmup=2)
 
 
-DEADLINE_S = 300     # leave headroom under the driver's timeout
+# Budget AFTER setup for the measurement stages; the absolute cap
+# guards against a pathological setup eating the driver's timeout.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 800))
+TOTAL_CAP_S = float(os.environ.get("BENCH_TOTAL_CAP_S", 1100))
 
 
 def main():
@@ -93,6 +104,7 @@ def main():
 
     from glnn_tpu.graph.container import build_graph
     from glnn_tpu.ops import refops
+    from glnn_tpu.utils.packing import ship_packed
 
     from glnn_tpu import ops
 
@@ -100,13 +112,22 @@ def main():
     e = N * AVG_DEG
     src = rs.randint(0, N, e).astype(np.int64)
     dst = rs.randint(0, N, e).astype(np.int64)
-    g = build_graph(src, dst, N).with_plans()
-    x = jnp.asarray(rs.randn(N, F).astype(np.float32))
+    # host-built graph + plans (+ GAT softmax plan), shipped as ONE
+    # packed transfer; features/labels/splits are generated on device
+    g_host = build_graph(src, dst, N, device=False).with_plans(
+        softmax=True, device=False)
+    g = ship_packed(g_host)
+    _stage("graph+plans shipped (one packed upload)", start)
 
-    # chain-of-k timing under lax.scan: ONE compile per op; the
-    # separately-measured RPC floor is subtracted (round-1's two-chain
-    # variant doubled the compile count and blew the bench deadline)
+    kx, kl, ki, k0, k1, k2, k3, k4, k5 = jax.random.split(
+        jax.random.PRNGKey(0), 9)
+    x = jax.random.normal(kx, (N, F), jnp.float32)
+    labels = jax.random.randint(kl, (N,), 0, 40)
+    idx_train = jax.random.permutation(ki, N)[:90_000]
+
     rpc = measure_rpc_floor()
+    setup_end = time.monotonic()
+    deadline = min(setup_end + DEADLINE_S, start + TOTAL_CAP_S)
 
     def chain(op, k):
         @jax.jit
@@ -125,24 +146,16 @@ def main():
         return max((best - rpc) / k, 1e-9)
 
     def out_of_time():
-        return time.monotonic() - start > DEADLINE_S
+        return time.monotonic() > deadline
 
-    _stage("graph+plans built", start)
+    # ---- headline: pallas SpMM + its measured speed-of-light ----
     dt = spmm_time(ops.copy_u_sum)          # pallas on TPU, xla on CPU
-    _stage(f"pallas spmm {dt*1e3:.1f} ms", start)
-    dt_xla = None
-    if not out_of_time():
-        dt_xla = spmm_time(refops.copy_u_sum)
-        _stage(f"xla spmm {dt_xla*1e3:.1f} ms", start)
-    dt_i8 = None
-    if jax.default_backend() == "tpu" and not out_of_time():
-        from glnn_tpu.ops import spmm_pallas
-        dt_i8 = spmm_time(spmm_pallas.copy_u_sum_int8)
-        _stage(f"int8 spmm {dt_i8*1e3:.1f} ms", start)
+    _stage(f"pallas spmm {dt*1e3:.2f} ms", start)
     dt_take = None
-    if jax.default_backend() == "tpu" and not out_of_time():
+    if jax.default_backend() == "tpu":
         from glnn_tpu.ops import spmm_pallas as _sp
         _pf = g.plans[0]
+        _pf = _pf[0] if isinstance(_pf, tuple) else _pf
 
         def take_only(graph, xx):
             # scalar-coupled so the scan carry depends on the gather
@@ -152,34 +165,17 @@ def main():
             m = jnp.take(_sp._ghost_extend(xb), _pf.src_idx, axis=0)
             return xx + m.sum(dtype=jnp.float32) * 1e-12
         dt_take = spmm_time(take_only)
-        _stage(f"bare gather {dt_take*1e3:.1f} ms", start)
+        _stage(f"bare gather {dt_take*1e3:.2f} ms", start)
     edges_per_s = e / dt
 
     bw = detect_bw()
     roofline = bw * e / ((e + 2 * N) * F * 4)
-    # headline ratio: achieved / measured speed-of-light (the bare
-    # gather of the op's own slots); roofline fallback off-TPU
     vs = dt_take / dt if dt_take else edges_per_s / roofline
-
-    # extras: one full-batch GCN teacher train step + one MLP student epoch
-    from glnn_tpu.nn.models import Model
-    from glnn_tpu.train import (
-        create_train_state, make_adam, make_gnn_train_step, make_mlp_epoch_fn,
-    )
-
-    labels = jnp.asarray(rs.randint(0, 40, N))
-    idx_train = jnp.asarray(rs.choice(N, 90_000, replace=False))
-    conf = dict(model_name="GCN", num_layers=3, hidden_dim=256, label_dim=40,
-                dropout_ratio=0.2, norm_type="none")
-    model = Model(conf)
-    opt = make_adam(0.01, 0.0)
 
     extras = {
         "graph": f"synthetic arxiv-scale N={N} E={e} F={F}",
+        "setup_s": round(setup_end - start, 1),
         "spmm_ms": round(dt * 1e3, 3),
-        "spmm_int8_ms": round(dt_i8 * 1e3, 3) if dt_i8 else None,
-        "spmm_xla_ms": round(dt_xla * 1e3, 3) if dt_xla else None,
-        "speedup_vs_xla": round(dt_xla / dt, 2) if dt_xla else None,
         "roofline_edges_per_s": round(roofline, 1),
         "vs_hbm_roofline": round(edges_per_s / roofline, 4),
         "gather_sol_edges_per_s": round(e / dt_take, 1) if dt_take else None,
@@ -190,20 +186,29 @@ def main():
                         else "xla"),
     }
 
-    # extras are best-effort: the headline line must print regardless
+    # ---- end-to-end timings (BASELINE.md rows) run before any
+    # comparator; each is best-effort but budgeted first ----
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import (
+        create_train_state, make_adam, make_gnn_train_step, make_mlp_epoch_fn,
+    )
+
+    conf = dict(model_name="GCN", num_layers=3, hidden_dim=256, label_dim=40,
+                dropout_ratio=0.2, norm_type="none")
+    opt = make_adam(0.01, 0.0)
+
     try:
         if out_of_time():
             raise TimeoutError("bench deadline")
-        state = create_train_state(model.init(jax.random.PRNGKey(0), g, x),
-                                   opt)
+        model = Model(conf)
+        state = create_train_state(model.init(k0, g, x), opt)
         step = make_gnn_train_step(model, opt)
-        rng = jax.random.PRNGKey(1)
         gcn_step_s = time_scalar(
-            lambda s: step(s, g, x, labels, idx_train, rng)[1], state,
+            lambda s: step(s, g, x, labels, idx_train, k1)[1], state,
             iters=4,
         ) - rpc
         extras["gcn3_teacher_step_ms"] = round(gcn_step_s * 1e3, 3)
-        _stage("gcn step done", start)
+        _stage(f"gcn step {gcn_step_s*1e3:.1f} ms", start)
     except Exception as exc:      # pragma: no cover
         extras["gcn3_teacher_step_ms"] = f"error: {exc}"
 
@@ -217,17 +222,15 @@ def main():
         sage_conf = dict(model_name="SAGE", num_layers=3, hidden_dim=256,
                          label_dim=40, dropout_ratio=0.2, norm_type="batch")
         sage = Model(sage_conf)
-        sage_state = create_train_state(
-            sage.init(jax.random.PRNGKey(4), g, x), opt)
+        sage_state = create_train_state(sage.init(k2, g, x), opt)
         sage_epoch = make_sage_sampled_epoch_fn(sage, opt, 512, (5, 10, 15))
         idx_small = idx_train[:15_360]       # 30 batches
         sage_epoch_s = time_scalar(
-            lambda s: sage_epoch(s, g, x, labels, idx_small,
-                                 jax.random.PRNGKey(5))[1],
+            lambda s: sage_epoch(s, g, x, labels, idx_small, k3)[1],
             sage_state, iters=1, warmup=1,
         ) - rpc
         extras["sage_sampled_epoch_30b_ms"] = round(sage_epoch_s * 1e3, 3)
-        _stage("sage epoch done", start)
+        _stage(f"sage epoch {sage_epoch_s*1e3:.1f} ms", start)
     except Exception as exc:      # pragma: no cover
         extras["sage_sampled_epoch_30b_ms"] = f"error: {exc}"
 
@@ -236,17 +239,59 @@ def main():
             raise TimeoutError("bench deadline")
         sconf = dict(conf, model_name="MLP", hidden_dim=1024)
         student = Model(sconf)
-        sstate = create_train_state(
-            student.init(jax.random.PRNGKey(2), None, x[:2]), opt)
+        sstate = create_train_state(student.init(k4, None, x[:2]), opt)
         epoch_fn = make_mlp_epoch_fn(student, opt, batch_size=4096,
                                      criterion="nll")
         mlp_epoch_s = time_scalar(
-            lambda s: epoch_fn(s, x, labels, jax.random.PRNGKey(3))[1],
+            lambda s: epoch_fn(s, x, labels, k5)[1],
             sstate, iters=3, warmup=1,
         ) - rpc
         extras["mlp3w4_student_epoch_ms"] = round(mlp_epoch_s * 1e3, 3)
+        _stage(f"mlp epoch {mlp_epoch_s*1e3:.1f} ms", start)
     except Exception as exc:      # pragma: no cover
         extras["mlp3w4_student_epoch_ms"] = f"error: {exc}"
+
+    try:
+        if out_of_time():
+            raise TimeoutError("bench deadline")
+        # GAT teacher step: exercises the Pallas segment-softmax tier
+        # (g.smx is shipped above) + multi-head u_mul_e_sum
+        gat_conf = dict(model_name="GAT", num_layers=2, hidden_dim=256,
+                        label_dim=40, dropout_ratio=0.2,
+                        attn_dropout_ratio=0.3, num_heads=8,
+                        norm_type="none")
+        gat = Model(gat_conf)
+        gat_state = create_train_state(gat.init(k0, g, x), opt)
+        gat_step = make_gnn_train_step(gat, opt)
+        gat_step_s = time_scalar(
+            lambda s: gat_step(s, g, x, labels, idx_train, k1)[1],
+            gat_state, iters=3,
+        ) - rpc
+        extras["gat2_teacher_step_ms"] = round(gat_step_s * 1e3, 3)
+        _stage(f"gat step {gat_step_s*1e3:.1f} ms", start)
+    except Exception as exc:      # pragma: no cover
+        extras["gat2_teacher_step_ms"] = f"error: {exc}"
+
+    # ---- comparators last: nice-to-have diagnostics ----
+    dt_xla = None
+    if not out_of_time():
+        try:
+            dt_xla = spmm_time(refops.copy_u_sum)
+            _stage(f"xla spmm {dt_xla*1e3:.2f} ms", start)
+        except Exception:
+            pass
+    dt_i8 = None
+    if jax.default_backend() == "tpu" and not out_of_time():
+        try:
+            from glnn_tpu.ops import spmm_pallas
+            dt_i8 = spmm_time(spmm_pallas.copy_u_sum_int8)
+            _stage(f"int8 spmm {dt_i8*1e3:.2f} ms", start)
+        except Exception:
+            pass
+    extras["spmm_xla_ms"] = round(dt_xla * 1e3, 3) if dt_xla else None
+    extras["speedup_vs_xla"] = round(dt_xla / dt, 2) if dt_xla else None
+    extras["spmm_int8_ms"] = round(dt_i8 * 1e3, 3) if dt_i8 else None
+    extras["int8_edges_per_s"] = round(e / dt_i8, 1) if dt_i8 else None
 
     print(json.dumps({
         "metric": "spmm_edges_per_s_per_chip",

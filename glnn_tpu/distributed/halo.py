@@ -94,6 +94,10 @@ def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
                      mesh: Mesh, axis: str = "graph",
                      build_plans: bool = False, plan_tile: int = 512,
                      plan_block_rows: int = 512) -> HaloGraph:
+    """Fully vectorized index-set construction (no O(P^2) Python
+    loops / per-pair np.unique — one lexicographic unique over the
+    halo edges does all the send-set bookkeeping; ~seconds at
+    ogbn-products scale, see bench/scaling.py --time_build)."""
     n_shards = mesh.shape[axis]
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -103,64 +107,56 @@ def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
 
     is_local = shard_src == shard_dst
 
-    loc_counts, halo_counts = [], []
-    send_sets: list[list[np.ndarray]] = []
-    per_shard = []
-    for p_i in range(n_shards):
-        own = shard_dst == p_i
-        loc = own & is_local
-        hal = own & ~is_local
-        loc_counts.append(int(loc.sum()))
-        halo_counts.append(int(hal.sum()))
-        per_shard.append((loc, hal))
-    e_loc = max(max(loc_counts), 1)
-    e_hal = max(max(halo_counts), 1)
-
-    # send sets: rows shard q must send to shard p (unique, sorted)
-    send_rows = [[np.empty(0, np.int64)] * n_shards for _ in range(n_shards)]
-    for p_i in range(n_shards):
-        _, hal = per_shard[p_i]
-        hsrc = src[hal]
-        hq = shard_src[hal]
-        for q in range(n_shards):
-            if q == p_i:
-                continue
-            send_rows[q][p_i] = np.unique(hsrc[hq == q])
-    h_max = max(
-        max((len(send_rows[q][p_i]) for q in range(n_shards)), default=0)
-        for p_i in range(n_shards)
-    )
-    h_max = max(h_max, 1)
+    # ---- shard-local edges: bucket by owning (dst) shard ----
+    lidx = np.nonzero(is_local)[0]
+    lp = shard_dst[lidx]
+    lorder = np.argsort(lp, kind="stable")
+    lidx, lp = lidx[lorder], lp[lorder]
+    loc_counts = np.bincount(lp, minlength=n_shards)
+    e_loc = int(max(loc_counts.max(initial=0), 1))
+    lstart = np.concatenate([[0], np.cumsum(loc_counts)])
+    lpos = np.arange(len(lidx)) - lstart[lp]
 
     local_src = np.full((n_shards, e_loc), rows, np.int32)
     local_dst = np.full((n_shards, e_loc), rows, np.int32)
+    local_src[lp, lpos] = src[lidx] - lp * rows
+    local_dst[lp, lpos] = dst[lidx] - lp * rows
+
+    # ---- halo edges: send sets = unique (src_shard q, dst_shard p,
+    # src row) triples, encoded into one int64 key so a single sort
+    # yields every per-(q,p) sorted-unique send list and each edge's
+    # rank within it ----
+    hidx = np.nonzero(~is_local)[0]
+    hp = shard_dst[hidx]
+    hq = shard_src[hidx]
+    hs = src[hidx]
+    key = (hq * n_shards + hp) * n_nodes + hs
+    uk, inv = np.unique(key, return_inverse=True)
+    g_of = uk // n_nodes                       # q * P + p per unique row
+    counts_g = np.bincount(g_of, minlength=n_shards * n_shards)
+    h_max = int(max(counts_g.max(initial=0), 1))
+    gstart = np.concatenate([[0], np.cumsum(counts_g)])
+    rank_uk = np.arange(len(uk)) - gstart[g_of]
+    uk_src = uk % n_nodes
+
+    send_idx = np.full((n_shards, n_shards, h_max), rows, np.int32)
+    uq = g_of // n_shards
+    send_idx[uq, g_of % n_shards, rank_uk] = uk_src - uq * rows
+
+    # recv buffer layout on shard p: [q*H + rank] = send list entry
+    gidx_per_edge = hq * h_max + rank_uk[inv]
+
+    halo_counts = np.bincount(hp, minlength=n_shards)
+    e_hal = int(max(halo_counts.max(initial=0), 1))
+    horder = np.argsort(hp, kind="stable")
+    hp_s = hp[horder]
+    hstart = np.concatenate([[0], np.cumsum(halo_counts)])
+    hpos = np.arange(len(hidx)) - hstart[hp_s]
+
     halo_gather = np.full((n_shards, e_hal), n_shards * h_max, np.int32)
     halo_dst = np.full((n_shards, e_hal), rows, np.int32)
-    send_idx = np.full((n_shards, n_shards, h_max), rows, np.int32)
-
-    for q in range(n_shards):
-        for p_i in range(n_shards):
-            rws = send_rows[q][p_i]
-            send_idx[q, p_i, : len(rws)] = rws - q * rows
-
-    for p_i in range(n_shards):
-        loc, hal = per_shard[p_i]
-        nl = loc.sum()
-        local_src[p_i, :nl] = src[loc] - p_i * rows
-        local_dst[p_i, :nl] = dst[loc] - p_i * rows
-        nh = hal.sum()
-        hsrc = src[hal]
-        hq = shard_src[hal]
-        # recv buffer layout on shard p: [q*H + pos] = send_rows[q][p][pos]
-        gidx = np.empty(nh, np.int64)
-        for q in range(n_shards):
-            m = hq == q
-            if not m.any():
-                continue
-            pos = np.searchsorted(send_rows[q][p_i], hsrc[m])
-            gidx[m] = q * h_max + pos
-        halo_gather[p_i, :nh] = gidx
-        halo_dst[p_i, :nh] = dst[hal] - p_i * rows
+    halo_gather[hp_s, hpos] = gidx_per_edge[horder]
+    halo_dst[hp_s, hpos] = dst[hidx][horder] - hp_s * rows
 
     n_pad = n_shards * rows
     ind = np.zeros(n_pad, np.float32)

@@ -73,6 +73,49 @@ def inverse_permutation(order: np.ndarray) -> np.ndarray:
     return inv
 
 
+def chunked_balanced_order(locality_order: np.ndarray,
+                           in_degrees: np.ndarray, n_shards: int,
+                           chunks_per_shard: int = 64) -> np.ndarray:
+    """Compose locality with load balance: keep a locality-preserving
+    ordering (RCM / BFS / community) in contiguous CHUNKS and
+    LPT-assign whole chunks to shards by in-degree weight.
+
+    A global LPT permutation (`degree_balanced_order`) balances
+    per-shard edge load but scatters neighborhoods across shards —
+    measured halo fractions 0.50/0.75/0.87 at P=2/4/8 even on
+    clustered graphs. Chunk-granular LPT keeps ~`1/chunks_per_shard`
+    of the locality order contiguous per move, so edge cut stays near
+    the locality ordering's while worst-shard load drops to chunk
+    granularity.
+
+    Returns `order`: old node ids in their new id order (shard 0's
+    nodes first). Relabel with `inverse_permutation(order)`.
+    """
+    import heapq
+
+    order = np.asarray(locality_order, np.int64)
+    deg = np.asarray(in_degrees, np.int64)
+    n = order.shape[0]
+    n_chunks = n_shards * chunks_per_shard
+    bnd = np.linspace(0, n, n_chunks + 1).astype(np.int64)
+    chunks = [order[bnd[i]:bnd[i + 1]] for i in range(n_chunks)]
+    weights = np.array([int(deg[c].sum()) for c in chunks], np.int64)
+
+    by_w = np.argsort(-weights, kind="stable")
+    buckets: list[list[int]] = [[] for _ in range(n_shards)]
+    heap = [(0, p) for p in range(n_shards)]
+    heapq.heapify(heap)
+    for ci in by_w:
+        load, p = heapq.heappop(heap)
+        buckets[p].append(int(ci))
+        if len(buckets[p]) < chunks_per_shard:
+            heapq.heappush(heap, (load + int(weights[ci]), p))
+    # keep chunks in locality order inside each shard
+    return np.concatenate(
+        [np.concatenate([chunks[ci] for ci in sorted(b)]) if b
+         else np.empty(0, np.int64) for b in buckets])
+
+
 def shard_edge_balance(dst: np.ndarray, n_nodes: int,
                        n_shards: int) -> float:
     """max/mean in-edge load across equal node blocks (1.0 = perfect)."""

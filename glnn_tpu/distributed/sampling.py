@@ -175,7 +175,7 @@ def fetch_rows(mesh: Mesh, axis: str, x_sharded: jax.Array,
 
 def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
                                   fanouts, mesh: Mesh, axis: str = "dp",
-                                  lamb: float = 1.0):
+                                  lamb: float = 1.0, slack: float = 2.0):
     """Data-parallel fanout-sampled epoch: global batches of
     `batch_size` split across the mesh; per-device local sampling;
     features row-sharded and fetched via `fetch_rows`; psum'd global
@@ -191,6 +191,11 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
     BatchNorm deviation: batch statistics are computed per device over
     its local sub-batch and pmean'd into the running stats (torch-DDP
     behavior), not computed over the global batch.
+
+    Returns (state, mean_loss, overflow[2]) where overflow[0] flags
+    sampler frontier-cap truncation and overflow[1] flags compact-fetch
+    bucket overflow (feature rows zero-filled; raise `slack` if set) —
+    kept separate so skewed-ownership feature loss is diagnosable.
     """
     fanouts = tuple(int(f) for f in fanouts)
     n_shards = mesh.shape[axis]
@@ -224,7 +229,7 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
                                        me)
             blocks = sample_blocks(g, seeds, fanouts, s_rng)
             cap = _compact_cap(blocks.input_nodes.shape[0], n_shards,
-                               2.0)
+                               slack)
             x_in, fetch_ovf = _fetch_rows_compact_local(
                 x_blk, blocks.input_nodes, axis, n_shards, rows, cap,
                 n_real=n)
@@ -249,15 +254,15 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
                 num = jax.lax.psum(jnp.sum(per * mask), axis)
                 den = jax.lax.psum(jnp.sum(mask), axis)
                 loss = num / jnp.maximum(den, 1.0)
-                return loss * lamb, (loss, new_bs,
-                                     blocks.overflowed | fetch_ovf)
+                ovf2 = jnp.stack([blocks.overflowed, fetch_ovf])
+                return loss * lamb, (loss, new_bs, ovf2)
 
-            grads, (loss, new_bs, ovf) = jax.grad(loss_fn, has_aux=True)(
+            grads, (loss, new_bs, ovf2) = jax.grad(loss_fn, has_aux=True)(
                 params)
             grads = jax.lax.pmean(grads, axis)
             new_bs = jax.lax.pmean(new_bs, axis)
-            ovf = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
-            return grads, loss, new_bs, ovf
+            ovf2 = jax.lax.psum(ovf2.astype(jnp.int32), axis) > 0
+            return grads, loss, new_bs, ovf2
 
         smapped = shard_map(
             shard_step, mesh=mesh,
@@ -281,7 +286,8 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
         new_state = state.replace(step=step, params=params,
                                   batch_stats=batch_stats,
                                   opt_state=opt_state)
-        return new_state, jnp.mean(losses), jnp.any(ovfs)
+        # ovfs: [num_batches, 2] -> (frontier_overflow, fetch_overflow)
+        return new_state, jnp.mean(losses), jnp.any(ovfs, axis=0)
 
     return epoch
 

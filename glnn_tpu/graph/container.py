@@ -65,11 +65,11 @@ class Graph:
     smx: object | None = None
 
     def with_plans(self, tile: int = 512, block_rows: int = 512,
-                   softmax: bool = False) -> "Graph":
+                   softmax: bool = False, device: bool = True) -> "Graph":
         from glnn_tpu.ops.spmm_plan import plan_for_graph
 
         g = dataclasses.replace(self, plans=plan_for_graph(
-            self, tile=tile, block_rows=block_rows))
+            self, tile=tile, block_rows=block_rows, device=device))
         if softmax:
             from glnn_tpu.ops.softmax_plan import build_softmax_plan
 
@@ -77,7 +77,8 @@ class Graph:
             rec = (host[1] if host is not None
                    else np.asarray(self.receivers)[: self.n_edges])
             g = dataclasses.replace(g, smx=build_softmax_plan(
-                rec, self.n_nodes, tile=tile, block_rows=block_rows))
+                rec, self.n_nodes, tile=tile, block_rows=block_rows,
+                device=device))
         host = getattr(self, "_host_edges", None)
         if host is not None:         # keep the host edge cache alive
             object.__setattr__(g, "_host_edges", host)
@@ -121,12 +122,18 @@ def build_graph(
     n_nodes: int,
     edge_weight: np.ndarray | None = None,
     pad_to: int | None = None,
+    device: bool = True,
 ) -> Graph:
     """Build a dst-sorted ``Graph`` from host COO arrays.
 
     Mirrors what `dgl.graph((row, col))` provides the reference models
     (/root/reference/dataloader.py:105) but in a single canonical,
     statically-shaped layout.
+
+    ``device=False`` keeps every field as a host numpy array so the
+    whole container (plans included, via ``with_plans(device=False)``)
+    can be shipped in ONE transfer with `utils.packing.ship_packed` —
+    per-array uploads through the axon relay cost ~45s each.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -157,13 +164,15 @@ def build_graph(
     indptr = np.zeros(n_nodes + 2, dtype=np.int32)
     np.cumsum(counts, out=indptr[1:])
 
+    arr = jnp.asarray if device else (lambda a, dt=None: np.asarray(
+        a, dt if dt is not None else a.dtype))
     g = Graph(
-        senders=jnp.asarray(src_s, jnp.int32),
-        receivers=jnp.asarray(dst_s, jnp.int32),
-        indptr=jnp.asarray(indptr, jnp.int32),
-        edge_weight=None if w_s is None else jnp.asarray(w_s, jnp.float32),
-        in_degrees=jnp.asarray(in_deg),
-        out_degrees=jnp.asarray(out_deg),
+        senders=arr(src_s, jnp.int32),
+        receivers=arr(dst_s, jnp.int32),
+        indptr=arr(indptr, jnp.int32),
+        edge_weight=None if w_s is None else arr(w_s, jnp.float32),
+        in_degrees=arr(in_deg),
+        out_degrees=arr(out_deg),
         n_nodes=int(n_nodes),
         n_edges=n_edges,
     )

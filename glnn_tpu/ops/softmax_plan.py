@@ -66,7 +66,8 @@ class SoftmaxPlan:
 
 def build_softmax_plan(receivers: np.ndarray, n_nodes: int,
                        tile: int = 512,
-                       block_rows: int = 512) -> SoftmaxPlan:
+                       block_rows: int = 512,
+                       device: bool = True) -> SoftmaxPlan:
     """Plan the dst-sorted edge list for segment softmax. Pure numpy
     (GAT runs on the CPF-scale graphs; no native path needed)."""
     rec = np.asarray(receivers, np.int64)
@@ -107,12 +108,13 @@ def build_softmax_plan(receivers: np.ndarray, n_nodes: int,
     last_sel = np.where(is_last & valid, rec_local,
                         block_rows).astype(np.int32)
 
+    arr = jnp.asarray if device else np.ascontiguousarray
     return SoftmaxPlan(
-        edge_perm=jnp.asarray(edge_perm.reshape(-1)),
-        rec_lane=jnp.asarray(rec_local),
-        rec_sub=jnp.asarray(rec_local.reshape(-1, 1)),
-        last_sel=jnp.asarray(last_sel),
-        block_id=jnp.asarray(tile_block.astype(np.int32)),
+        edge_perm=arr(edge_perm.reshape(-1)),
+        rec_lane=arr(rec_local),
+        rec_sub=arr(rec_local.reshape(-1, 1)),
+        last_sel=arr(last_sel),
+        block_id=arr(tile_block.astype(np.int32)),
         tile=tile,
         block_rows=block_rows,
         num_blocks=int(num_blocks),

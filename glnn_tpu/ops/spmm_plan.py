@@ -233,8 +233,15 @@ def build_chunked_plans(receivers: np.ndarray, senders: np.ndarray,
         e0 = int(block_edge_end[cb0 - 1]) if cb0 else 0
         e1 = int(block_edge_end[cb1 - 1])
         rows = (cb1 - cb0) * block_rows
+        # ghost source id must stay the GLOBAL ghost row (n_src /
+        # n_nodes), not default to the chunk-local row count — a
+        # chunk-local default would make padding slots gather an
+        # arbitrary real feature row (masked by the zero one-hot, but
+        # 0 * non-finite = NaN through the MXU).
         sub = build_spmm_plan(rec[e0:e1] - cb0 * block_rows, snd[e0:e1],
-                              rows, tile, block_rows, n_src=n_src,
+                              rows, tile, block_rows,
+                              n_src=(n_src if n_src is not None
+                                     else n_nodes),
                               device=False)
         sub = _globalize_edge_perm(sub, edge_base + e0, e_global)
         sub = dataclasses.replace(sub, row0=cb0 * block_rows)
@@ -340,7 +347,8 @@ def plan_pair_for_edges(senders: np.ndarray, receivers: np.ndarray,
 
 
 def plan_for_graph(g, tile: int = 512, block_rows: int = 512,
-                   max_slots: int = MAX_SLOTS_PER_CHUNK):
+                   max_slots: int = MAX_SLOTS_PER_CHUNK,
+                   device: bool = True):
     """(forward, backward) plans for a Graph container. Forward reduces
     over dst; backward reduces over src (for dX = A^T dH), with
     edge_perm composed back into the original dst-sorted edge order.
@@ -376,6 +384,8 @@ def plan_for_graph(g, tile: int = 512, block_rows: int = 512,
         return dataclasses.replace(p, edge_perm=composed.astype(np.int32))
 
     def ship(p):
+        if not device:
+            return p
         return (tuple(plan_to_device(q) for q in p)
                 if isinstance(p, tuple) else plan_to_device(p))
 

@@ -375,8 +375,13 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
             state, loss, overflow = epoch_fn(
                 state, g_struct if halo else g, feats, labels, idx_train,
                 epoch_rng)
-            if bool(overflow):
+            ovf = np.atleast_1d(np.asarray(overflow))
+            if bool(ovf[0]):
                 logger.warning(f"Ep {epoch}: sampler frontier cap overflow")
+            if ovf.shape[0] > 1 and bool(ovf[1]):
+                logger.warning(
+                    f"Ep {epoch}: compact-fetch bucket overflow — feature "
+                    "rows zero-filled (raise fetch slack)")
         else:
             state, loss = step_fn(state, g, feats, labels, idx_train,
                                   epoch_rng)
@@ -508,8 +513,13 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
             state, loss, overflow = epoch_fn(
                 state, g_struct if halo else obs_g, obs_feats, obs_labels,
                 obs_idx_train, epoch_rng)
-            if bool(overflow):
+            ovf = np.atleast_1d(np.asarray(overflow))
+            if bool(ovf[0]):
                 logger.warning(f"Ep {epoch}: sampler frontier cap overflow")
+            if ovf.shape[0] > 1 and bool(ovf[1]):
+                logger.warning(
+                    f"Ep {epoch}: compact-fetch bucket overflow — feature "
+                    "rows zero-filled (raise fetch slack)")
         else:
             state, loss = step_fn(state, obs_g, obs_feats, obs_labels,
                                   obs_idx_train, epoch_rng)

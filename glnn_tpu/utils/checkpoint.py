@@ -41,11 +41,22 @@ def load_model(path):
     path = Path(path).absolute()
     npz = path / "flat.npz"
     if npz.is_file():
+        import re
+
         arrays = np.load(npz)
         tree: dict = {}
+        seg = re.compile(r"\[(?:'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\")\]")
         for keystr, value in arrays.items():
-            keys = [k.strip("'\"") for k in
-                    keystr.replace("]", "").split("[") if k]
+            # keystrs are jax keystr() dict paths: ['a']['b']...; parse
+            # quoted segments and fail loudly on anything else (keys
+            # containing brackets/quotes would silently corrupt the
+            # stripped-split parse this replaces)
+            matches = list(seg.finditer(keystr))
+            if not matches or "".join(m.group(0) for m in matches) != keystr:
+                raise ValueError(
+                    f"unparseable checkpoint key {keystr!r} in {npz}")
+            keys = [m.group(1) if m.group(1) is not None else m.group(2)
+                    for m in matches]
             node = tree
             for k in keys[:-1]:
                 node = node.setdefault(k, {})

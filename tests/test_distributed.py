@@ -296,7 +296,7 @@ def test_dp_sampled_sage_epoch_takeall_matches_single_device(mesh8):
     s2, l2, ovf = ep2(s2, g, x_sh, jnp.asarray(labels),
                       jnp.asarray(idx_train), jax.random.PRNGKey(7))
 
-    assert not bool(ovf)
+    assert not bool(np.asarray(ovf).any())   # (frontier, fetch) flags
     assert abs(float(l1) - float(l2)) < 1e-5
     for a, b2 in zip(jax.tree_util.tree_leaves(s1.params),
                      jax.tree_util.tree_leaves(s2.params)):
