@@ -91,12 +91,12 @@ def run(args):
     state_out = {} if args.save_results else None
     n_shards = int(conf.get("n_shards", 1) or 1)
     # GNN teachers get the Pallas SpMM plan; MLP never touches the
-    # graph. GAT additionally gets the segment-softmax plan
-    # (ops/softmax_plan.py) so its attention normalization runs the
-    # Pallas tier too.
+    # graph. with_plans' auto policy also builds the segment-softmax
+    # plan (ops/softmax_plan.py) on any non-huge graph, so GAT's
+    # attention normalization runs the Pallas tier with no model-name
+    # special-casing here.
     build_plans = not model.is_mlp
-    smx_plans = build_plans and "GAT" in str(conf.get("model_name", ""))
-    G = g.to_device(build_plans=build_plans, softmax_plans=smx_plans)
+    G = g.to_device(build_plans=build_plans)
 
     def _to_halo(host_g, want_plans):
         """Graph-partitioned halo view over the first n_shards devices
@@ -128,8 +128,7 @@ def run(args):
         indices = graph_split(idx_train, idx_val, idx_test, args.split_rate,
                               args.seed)
         obs_g = g.subgraph(indices[3])
-        obs_G = obs_g.to_device(build_plans=build_plans,
-                                softmax_plans=smx_plans)
+        obs_G = obs_g.to_device(build_plans=build_plans)
         if args.feature_aug_k > 0:
             idx_obs = indices[3]
             obs_feats = np.asarray(

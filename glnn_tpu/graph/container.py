@@ -65,11 +65,19 @@ class Graph:
     smx: object | None = None
 
     def with_plans(self, tile: int = 512, block_rows: int = 512,
-                   softmax: bool = False, device: bool = True) -> "Graph":
+                   softmax: bool | None = None,
+                   device: bool = True) -> "Graph":
         from glnn_tpu.ops.spmm_plan import plan_for_graph
+        from glnn_tpu.ops.softmax_plan import softmax_auto
 
         g = dataclasses.replace(self, plans=plan_for_graph(
             self, tile=tile, block_rows=block_rows, device=device))
+        if softmax is None:
+            # auto: plans imply the softmax tier too unless the graph is
+            # large enough that the extra index arrays matter — so
+            # ops.edge_softmax hits Pallas with no caller special-casing
+            # (r2 VERDICT: the tier was reachable only via one CLI branch)
+            softmax = softmax_auto(self.n_edges)
         if softmax:
             from glnn_tpu.ops.softmax_plan import build_softmax_plan
 

@@ -119,16 +119,20 @@ class HostGraph:
     # -- device handoff ----------------------------------------------
     def to_device(self, pad_to: int | None = None,
                   build_plans: bool = False,
-                  softmax_plans: bool = False) -> Graph:
+                  softmax_plans: bool | None = None) -> Graph:
+        from glnn_tpu.ops.softmax_plan import softmax_auto
+
+        want_smx = (softmax_auto(self.num_edges())
+                    if softmax_plans is None else softmax_plans)
         if self._device_graph is None or pad_to is not None:
             g = build_graph(self.src, self.dst, self.n_nodes, pad_to=pad_to)
             if build_plans:
-                g = g.with_plans(softmax=softmax_plans)
+                g = g.with_plans(softmax=want_smx)
             self._device_graph = g
         elif build_plans and (self._device_graph.plans is None or (
-                softmax_plans and self._device_graph.smx is None)):
+                want_smx and self._device_graph.smx is None)):
             self._device_graph = self._device_graph.with_plans(
-                softmax=softmax_plans)
+                softmax=want_smx)
         return self._device_graph
 
 

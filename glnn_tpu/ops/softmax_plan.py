@@ -64,6 +64,19 @@ class SoftmaxPlan:
             e_orig=self.e_orig)
 
 
+SOFTMAX_AUTO_MAX_EDGES = 16_000_000
+
+
+def softmax_auto(n_edges: int) -> bool:
+    """Auto policy for ``with_plans(softmax=None)``: build the
+    segment-softmax plan whenever the graph is small enough that the
+    plan's ~16E bytes of index arrays are negligible. Every GAT config
+    in the reference runs on CPF/arxiv-scale graphs
+    (/root/reference/train.conf.yaml GAT rows); products-scale graphs
+    skip it unless explicitly requested."""
+    return n_edges <= SOFTMAX_AUTO_MAX_EDGES
+
+
 def build_softmax_plan(receivers: np.ndarray, n_nodes: int,
                        tile: int = 512,
                        block_rows: int = 512,

@@ -19,10 +19,9 @@ built by host C++ samplers, everything is jittable:
 * per-conv block = (nbr_local, valid, self_local) index arrays into
   the input frontier.
 
-Fanout semantics vs DGL 0.6.1: when deg <= fanout ALL neighbors are
-taken exactly once (identical); when deg > fanout we sample WITH
-replacement (DGL samples without) — a documented deviation that only
-changes the variance of high-degree aggregations, not their mean.
+Fanout semantics vs DGL 0.6.1: identical. deg <= fanout takes ALL
+neighbors exactly once; deg > fanout draws a uniform k-subset WITHOUT
+replacement (vectorized Floyd sampler in _sample_one_hop).
 
 Capacity overflow: if a frontier's true unique count exceeds its cap,
 the largest node ids are dropped (their messages become ghost zeros)
@@ -89,7 +88,15 @@ def frontier_caps(batch_size: int, fanouts: Sequence[int],
 def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
                     rng: jax.Array):
     """Uniform in-neighbor sampling for each frontier node.
-    Returns (nbr_global [C, K], valid [C, K])."""
+    Returns (nbr_global [C, K], valid [C, K]).
+
+    Matches DGL 0.6.1 CSRRowWisePerEtypeSampling semantics
+    (/root/reference/train_and_eval.py:179-181): deg <= fanout takes
+    every neighbor exactly once; deg > fanout draws a uniform k-subset
+    WITHOUT replacement via a vectorized Floyd sampler — k static
+    iterations, each an O(k) membership test over the slots already
+    chosen, so the traced cost is C*k^2 compares (k = fanout <= ~15).
+    """
     n = g.n_nodes
     is_real = frontier < n
     f_safe = jnp.minimum(frontier, n - 1)
@@ -100,11 +107,21 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
     c = frontier.shape[0]
     j = jnp.arange(fanout, dtype=jnp.int32)[None, :]
     u = jax.random.uniform(rng, (c, fanout))
-    rand_off = jnp.floor(u * deg[:, None]).astype(jnp.int32)
-    rand_off = jnp.minimum(rand_off, jnp.maximum(deg - 1, 0)[:, None])
+
+    # Floyd's uniform k-subset of offsets [0, deg): at step i consider
+    # slot jcol = deg-k+i; draw t ~ U[0, jcol]; take jcol iff t was
+    # already selected, else t. Uniform over all k-subsets.
+    sel = jnp.full((c, fanout), -1, jnp.int32)
+    for i in range(fanout):
+        jcol = deg - fanout + i                       # (c,)
+        t = jnp.floor(u[:, i] * (jcol + 1)).astype(jnp.int32)
+        t = jnp.clip(t, 0, jnp.maximum(jcol, 0))
+        member = (sel == t[:, None]).any(axis=1)
+        chosen = jnp.where(member, jcol, t).astype(jnp.int32)
+        sel = sel.at[:, i].set(chosen)
 
     take_all = (deg <= fanout)[:, None]
-    off = jnp.where(take_all, j, rand_off)
+    off = jnp.where(take_all, j, sel)
     valid = jnp.where(take_all, j < deg[:, None], deg[:, None] > 0)
 
     edge_idx = start[:, None] + off

@@ -70,6 +70,42 @@ def test_sampled_fanout_limits_neighbors():
         assert got <= true_nbrs
 
 
+def test_without_replacement_when_deg_exceeds_fanout():
+    """DGL parity (/root/reference/train_and_eval.py:179-181): deg >
+    fanout must draw a uniform k-subset WITHOUT replacement."""
+    d, k = 50, 10
+    src = np.arange(1, d + 1)            # node 0 has in-nbrs 1..50, once each
+    dst = np.zeros(d, np.int64)
+    g = build_graph(src, dst, d + 1)
+    seeds = jnp.zeros((1,), jnp.int32)
+
+    counts = np.zeros(d + 1, np.int64)
+    for trial in range(200):
+        blocks = sample_blocks(g, seeds, [k], jax.random.PRNGKey(trial))
+        val = np.asarray(blocks.valid[0])[0]
+        assert val.sum() == k
+        inp = np.asarray(blocks.input_nodes)
+        got = inp[np.asarray(blocks.nbr_local[0])[0][val]]
+        assert len(set(got.tolist())) == k, "duplicate neighbors sampled"
+        assert set(got.tolist()) <= set(range(1, d + 1))
+        np.add.at(counts, got, 1)
+    # uniformity: each neighbor expected 200*k/d = 40 times; loose 3-sigma
+    freq = counts[1:]
+    assert freq.min() > 15 and freq.max() < 75, freq
+
+
+def test_take_all_parity_unchanged_by_floyd():
+    """deg <= fanout still takes every neighbor exactly once."""
+    d = 6
+    g = build_graph(np.arange(1, d + 1), np.zeros(d, np.int64), d + 1)
+    blocks = sample_blocks(g, jnp.zeros((1,), jnp.int32), [10],
+                           jax.random.PRNGKey(0))
+    val = np.asarray(blocks.valid[0])[0]
+    inp = np.asarray(blocks.input_nodes)
+    got = sorted(inp[np.asarray(blocks.nbr_local[0])[0][val]].tolist())
+    assert got == list(range(1, d + 1))
+
+
 def test_overflow_flag():
     g = _graph()
     seeds = jnp.arange(64, dtype=jnp.int32)
