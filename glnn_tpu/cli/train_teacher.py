@@ -40,6 +40,41 @@ def get_args(argv=None):
     return parser.parse_args(argv)
 
 
+_LOCALITY_MAX_EDGES = 20_000_000
+
+
+def _locality_relabel(g, feats, labels, idxs, n_shards, logger):
+    """Community-locality node relabeling ahead of the contiguous halo
+    partition (SURVEY.md §2.4 graph partitioning): label-propagation
+    communities, LPT-assigned whole to equal node blocks. Cuts the halo
+    edge fraction from ~(P-1)/P to the graph's true cross-community
+    fraction (bench/scaling_r3.json: 0.09 vs 0.85 at P=8). Returns
+    (g, feats, labels, idxs, new_id) with new_id = None when skipped;
+    callers un-relabel the final out via out[new_id] so the out.npz
+    contract stays in original node order."""
+    from glnn_tpu.distributed.partition import (
+        community_balanced_order, inverse_permutation,
+        label_propagation_labels)
+    from glnn_tpu.graph.host import reorder_nodes
+
+    n = g.num_nodes()
+    if g.num_edges() > _LOCALITY_MAX_EDGES:
+        logger.info("locality relabel skipped: graph above the numpy "
+                    "label-propagation tier's edge budget")
+        return g, feats, labels, idxs, None
+    lab = label_propagation_labels(g.src, g.dst, n)
+    deg = np.bincount(g.dst, minlength=n)
+    order = community_balanced_order(lab, deg, n_shards)
+    new_id = inverse_permutation(order)
+    rows = -(-n // n_shards)
+    hf = float((new_id[g.src] // rows != new_id[g.dst] // rows).mean())
+    logger.info(f"locality relabel: halo edge fraction {hf:.3f} "
+                f"at n_shards={n_shards}")
+    g2 = reorder_nodes(g, order)
+    return (g2, feats[order], labels[order],
+            tuple(new_id[np.asarray(i)] for i in idxs), new_id)
+
+
 def run(args):
     """Train one teacher; returns the score list ([test] for tran,
     [test_tran, test_ind] for ind)."""
@@ -96,6 +131,12 @@ def run(args):
     # attention normalization runs the Pallas tier with no model-name
     # special-casing here.
     build_plans = not model.is_mlp
+    unmap = None
+    if n_shards > 1 and not model.is_mlp:
+        (g, feats, labels, (idx_train, idx_val, idx_test),
+         unmap) = _locality_relabel(
+            g, feats, labels, (idx_train, idx_val, idx_test), n_shards,
+            logger)
     G = g.to_device(build_plans=build_plans)
 
     def _to_halo(host_g, want_plans):
@@ -154,7 +195,12 @@ def run(args):
         f"{conf['hidden_dim']}. dropout_ratio: {conf['dropout_ratio']}"
     )
 
-    np.savez(output_dir.joinpath("out"), np.asarray(out))
+    out_np = np.asarray(out)
+    if unmap is not None:
+        # back to original node order (the out.npz teacher->student
+        # contract; metrics above are permutation-invariant)
+        out_np = out_np[unmap]
+    np.savez(output_dir.joinpath("out"), out_np)
 
     if args.save_results:
         np.savez(output_dir.joinpath("loss_and_score"),

@@ -116,6 +116,91 @@ def chunked_balanced_order(locality_order: np.ndarray,
          else np.empty(0, np.int64) for b in buckets])
 
 
+def label_propagation_labels(src: np.ndarray, dst: np.ndarray,
+                             n_nodes: int, iters: int = 10,
+                             tol: float = 1e-3) -> np.ndarray:
+    """Community labels by synchronous label propagation over the
+    symmetrized edge set: each sweep, every node adopts the most
+    frequent label among its neighbors (ties -> smallest label).
+
+    This is the locality signal the halo partitioners need: RCM
+    (bandwidth reduction) recovers almost none of a planted-partition
+    graph's structure once ids are shuffled (measured halo fraction
+    0.80 at P=8 vs 0.10 for LP on the same graph — bench/scaling.py).
+    Pure numpy (sort + run-length per sweep, O(E log E)); fine up to
+    ~10M edges. Returns int64[n] labels.
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    ss = np.concatenate([src, dst])
+    dd = np.concatenate([dst, src])
+    lab = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        key = dd * n_nodes + lab[ss]
+        uniq, cnt = np.unique(key, return_counts=True)
+        node = uniq // n_nodes
+        lbl = uniq % n_nodes
+        ordk = np.lexsort((lbl, -cnt, node))
+        node_o, lbl_o = node[ordk], lbl[ordk]
+        first = np.ones(len(node_o), bool)
+        first[1:] = node_o[1:] != node_o[:-1]
+        new = lab.copy()
+        new[node_o[first]] = lbl_o[first]
+        changed = float((new != lab).mean())
+        lab = new
+        if changed < tol:
+            break
+    return lab
+
+
+def community_balanced_order(labels: np.ndarray, in_degrees: np.ndarray,
+                             n_shards: int) -> np.ndarray:
+    """Node relabeling that keeps whole communities on one shard while
+    LPT-balancing per-shard in-edge load.
+
+    Unlike `chunked_balanced_order` (fixed equal chunks — which cut
+    straight through communities and re-scatter them), the atomic unit
+    here is a community from `labels`; only communities larger than a
+    shard's node capacity are split (into capacity-sized pieces that
+    stay contiguous). Greedy LPT by degree weight, subject to the
+    equal-node-block capacity TPU row sharding imposes.
+
+    Returns `order`: old node ids in new id order (shard 0 first).
+    Relabel with `inverse_permutation(order)`.
+    """
+    labels = np.asarray(labels, np.int64)
+    deg = np.asarray(in_degrees, np.int64)
+    n = labels.shape[0]
+    cap = -(-n // n_shards)
+
+    order0 = np.argsort(labels, kind="stable")
+    sorted_lab = labels[order0]
+    starts = np.concatenate(
+        [[0], np.where(np.diff(sorted_lab) != 0)[0] + 1, [n]])
+    pieces = []                      # (weight, node_ids)
+    for i in range(len(starts) - 1):
+        grp = order0[starts[i]:starts[i + 1]]
+        for j in range(0, len(grp), cap):
+            part = grp[j:j + cap]
+            pieces.append((int(deg[part].sum()), part))
+
+    pieces.sort(key=lambda t: -t[0])
+    load = np.zeros(n_shards, np.int64)
+    used = np.zeros(n_shards, np.int64)
+    buckets: list[list[np.ndarray]] = [[] for _ in range(n_shards)]
+    for w, part in pieces:
+        fits = np.where(used + len(part) <= cap)[0]
+        if len(fits) == 0:           # forced spill: least-full shard
+            fits = np.array([int(used.argmin())])
+        p = fits[np.argmin(load[fits])]
+        buckets[p].append(part)
+        load[p] += w
+        used[p] += len(part)
+    return np.concatenate(
+        [np.concatenate(b) if b else np.empty(0, np.int64)
+         for b in buckets])
+
+
 def shard_edge_balance(dst: np.ndarray, n_nodes: int,
                        n_shards: int) -> float:
     """max/mean in-edge load across equal node blocks (1.0 = perfect)."""

@@ -246,24 +246,43 @@ def load_bgnn_data(dataset, dataset_path, split_idx):
 
 
 def encode_cat_features(X, y, cat_features, train_mask):
-    """Leave-one-out-style target encoding fit on train only. The
-    reference uses category_encoders.CatBoostEncoder
-    (dataloader.py:364-375); we use a smoothed target-mean encoder fit
-    on the train rows — same role (train-only supervised encoding of
-    categoricals), documented deviation in exact encoder math."""
+    """Exact CatBoost ordered-target encoding, matching what the
+    reference's category_encoders.CatBoostEncoder() computes
+    (dataloader.py:364-375; CatBoostEncoder defaults a=1, sigma=None):
+
+    * train rows, in their stored row order (the single "permutation"
+      CatBoostEncoder uses): value_i = (prior + sum of y over PRIOR
+      train occurrences of the category) / (1 + count of prior
+      occurrences) — the current row's own label is excluded;
+    * non-train rows: value = (prior + total train sum of the
+      category) / (1 + total train count); categories unseen in train
+      fall back to the prior (sum=0, count=0 gives exactly that);
+    * prior = mean of y over the fit (train) rows.
+    """
     import pandas as pd
 
     X = X.copy()
     y_arr = y.to_numpy().ravel().astype(np.float64)
-    global_mean = y_arr[train_mask].mean()
+    train_idx = np.asarray(train_mask)
+    if train_idx.dtype == bool:
+        train_idx = np.where(train_idx)[0]
+    prior = y_arr[train_idx].mean()
+    rest_idx = np.setdiff1d(np.arange(len(X)), train_idx)
     for col in cat_features:
-        stats = (
-            pd.DataFrame({"c": X[col].iloc[train_mask].values,
-                          "y": y_arr[train_mask]})
-            .groupby("c")["y"].agg(["mean", "count"])
-        )
-        smooth = (stats["mean"] * stats["count"] + global_mean) / (stats["count"] + 1)
-        X[col] = X[col].map(smooth).fillna(global_mean).astype(np.float64)
+        col_vals = X[col].to_numpy()
+        c_tr = pd.Series(col_vals[train_idx])
+        y_tr = pd.Series(y_arr[train_idx])
+        grp = y_tr.groupby(c_tr)
+        cumsum = grp.cumsum() - y_tr          # prior-occurrence sums
+        cumcnt = grp.cumcount()               # prior-occurrence counts
+        enc = np.empty(len(X), np.float64)
+        enc[train_idx] = ((prior + cumsum) / (1.0 + cumcnt)).to_numpy()
+        totals = grp.agg(["sum", "count"])
+        t_sum = pd.Series(col_vals[rest_idx]).map(totals["sum"]).fillna(0.0)
+        t_cnt = pd.Series(col_vals[rest_idx]).map(
+            totals["count"]).fillna(0.0)
+        enc[rest_idx] = ((prior + t_sum) / (1.0 + t_cnt)).to_numpy()
+        X[col] = enc
     return X
 
 

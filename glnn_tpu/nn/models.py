@@ -248,9 +248,32 @@ class Model:
 
             from glnn_tpu.graph.container import build_graph
 
+            g_orig, feats_orig = g, feats
             ring = np.arange(64, dtype=np.int64)
-            g = build_graph(ring, (ring + 1) % 64, 64)
-            feats = feats[:64]
+            g_ring = build_graph(ring, (ring + 1) % 64, 64)
+            variables = self.module.init({"params": key}, g_ring,
+                                         feats[:64], training=False)
+            if g_orig is not None:
+                # the swap is only sound while layer init is
+                # graph-independent; verify via an abstract trace on the
+                # real graph (no compute) so a future layer whose
+                # parameter shapes depend on graph statistics fails
+                # loudly instead of silently training with ring-shaped
+                # parameters
+                want = jax.eval_shape(
+                    lambda k: self.module.init({"params": k}, g_orig,
+                                               feats_orig, training=False),
+                    key)
+                got = jax.tree_util.tree_map(
+                    lambda a: (a.shape, a.dtype), variables)
+                want = jax.tree_util.tree_map(
+                    lambda a: (a.shape, a.dtype), want)
+                if got != want:
+                    raise AssertionError(
+                        "Model.init graph swap produced different "
+                        f"parameter shapes: {got} != {want}; this "
+                        "layer's init depends on graph statistics")
+            return variables
         return self.module.init({"params": key}, g, feats, training=False)
 
     def apply(self, variables, g, feats, training=False, rngs=None,

@@ -89,6 +89,47 @@ def test_bgnn_loader(tmp_path, monkeypatch):
     assert len(itr) == 30 and len(ite) == 15
 
 
+def test_catboost_ordered_target_encoding_golden():
+    """Exact CatBoostEncoder semantics (a=1, sigma=None), hand-computed
+    golden values (category_encoders itself is not installed here).
+
+    Train rows (order as stored): cats [a, b, a, a, b], y [1, 0, 0, 1, 1]
+    prior = 3/5 = 0.6
+      row0 a: (0.6 + 0)   / (1+0) = 0.6
+      row1 b: (0.6 + 0)   / (1+0) = 0.6
+      row2 a: (0.6 + 1)   / (1+1) = 0.8
+      row3 a: (0.6 + 1)   / (1+2) = 0.5333...
+      row4 b: (0.6 + 0)   / (1+1) = 0.3
+    Test rows: a -> (0.6+2)/(1+3) = 0.65 ; b -> (0.6+1)/(1+2) = 0.5333
+               unseen c -> prior 0.6
+    """
+    import pandas as pd
+
+    from glnn_tpu.graph.datasets import encode_cat_features
+
+    X = pd.DataFrame({"cat": ["a", "b", "a", "a", "b", "a", "b", "c"]})
+    y = pd.DataFrame({"y": [1, 0, 0, 1, 1, 9, 9, 9]})  # 9s never used
+    out = encode_cat_features(X, y, ["cat"], np.arange(5))
+    got = out["cat"].to_numpy()
+    want = np.array([0.6, 0.6, 0.8, 1.6 / 3, 0.3,
+                     0.65, 1.6 / 3, 0.6])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_catboost_encoding_boolean_mask():
+    import pandas as pd
+
+    from glnn_tpu.graph.datasets import encode_cat_features
+
+    X = pd.DataFrame({"cat": ["a", "a", "b", "a"]})
+    y = pd.DataFrame({"y": [1.0, 0.0, 1.0, 5.0]})
+    mask = np.array([True, True, True, False])
+    out = encode_cat_features(X, y, ["cat"], mask)
+    prior = 2.0 / 3
+    want = np.array([prior, (prior + 1) / 2, prior, (prior + 1) / 3])
+    np.testing.assert_allclose(out["cat"].to_numpy(), want, rtol=1e-12)
+
+
 def test_create_subgraph_guards():
     adj = sp.eye(5, format="csr")
     with pytest.raises(ValueError, match="Either"):
