@@ -54,16 +54,92 @@ def time_scalar(fn, *args, iters=2, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
-OUT_PATH = os.path.join(os.path.dirname(__file__), "products_scale_r2.json")
+OUT_PATH = os.path.join(os.path.dirname(__file__), "products_scale_r3.json")
 _rows = []
 
 
 def emit(obj):
     print(json.dumps(obj), flush=True)
     _rows.append(obj)
-    with open(OUT_PATH, "w") as f:
-        for r in _rows:
-            f.write(json.dumps(r) + "\n")
+    # append-per-line: the TPU stages (main) and the CPU-mesh stages
+    # (--halo_cpu) run as separate processes writing one artifact
+    with open(OUT_PATH, "a") as f:
+        f.write(json.dumps(obj) + "\n")
+
+
+def halo_cpu_main():
+    """--halo_cpu: products-scale multi-shard validation on an
+    8-virtual-device CPU mesh (VERDICT r2 task 8): times the C++ label
+    propagation + community ordering at 62M edges, the vectorized
+    build_halo_graph, reports per-shard local/halo edge counts under
+    the relabeling, and runs ONE sharded full-graph copy_u_sum."""
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from glnn_tpu.distributed.halo import (build_halo_graph,
+                                           halo_copy_u_sum, shard_features)
+    from glnn_tpu.distributed.mesh import make_mesh
+    from glnn_tpu.distributed.partition import (
+        community_balanced_order, inverse_permutation,
+        label_propagation_labels)
+
+    P = 8
+    rs = np.random.RandomState(0)
+    # clustered products-scale graph (communities exist to recover;
+    # uniform random would pin every partitioner at (P-1)/P)
+    n_comm = 512
+    comm = rs.randint(0, n_comm, N)
+    member_sorted = np.argsort(comm, kind="stable")
+    counts = np.bincount(comm, minlength=n_comm)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    src = rs.randint(0, N, E)
+    c_src = comm[src]
+    dst_in = member_sorted[
+        starts[c_src] + (rs.randint(0, 1 << 30, E) % counts[c_src])]
+    dst = np.where(rs.rand(E) < 0.85, dst_in, rs.randint(0, N, E))
+    perm = rs.permutation(N)          # shuffle ids: structure is hidden
+    src, dst = perm[src], perm[dst]
+    emit({"stage": "halo_cpu_graph", "nodes": N, "edges": E,
+          "communities": n_comm, "p_in": 0.85})
+
+    t0 = time.perf_counter()
+    lab = label_propagation_labels(src, dst, N)
+    lp_s = time.perf_counter() - t0
+    deg = np.bincount(dst, minlength=N)
+    t0 = time.perf_counter()
+    order = community_balanced_order(lab, deg, P)
+    order_s = time.perf_counter() - t0
+    new_id = inverse_permutation(order)
+    src, dst = new_id[src], new_id[dst]
+    rows = -(-N // P)
+    hf = float((src // rows != dst // rows).mean())
+    emit({"stage": "halo_cpu_partition", "label_prop_s": round(lp_s, 2),
+          "order_s": round(order_s, 2), "halo_edge_fraction": round(hf, 4),
+          "n_labels": int(len(np.unique(lab)))})
+
+    mesh = make_mesh(P, axis="graph")
+    t0 = time.perf_counter()
+    hg = build_halo_graph(src, dst, N, mesh)
+    build_s = time.perf_counter() - t0
+    loc = np.asarray((hg.local_dst < hg.rows_per_shard).sum(axis=1))
+    hal = np.asarray((hg.halo_dst < hg.rows_per_shard).sum(axis=1))
+    emit({"stage": "halo_cpu_build", "seconds": round(build_s, 2),
+          "per_shard_local_edges": loc.tolist(),
+          "per_shard_halo_edges": hal.tolist(),
+          "slot_local": hg.e_local, "slot_halo": hg.e_halo,
+          "slot_skew_local": round(hg.e_local / max(loc.mean(), 1), 3),
+          "slot_skew_halo": round(hg.e_halo / max(hal.mean(), 1), 3)})
+
+    x = shard_features(rs.randn(N, 32).astype(np.float32), hg)
+    f = jax.jit(lambda xx: halo_copy_u_sum(hg, xx).sum())
+    t = time_scalar(f, x, iters=1, warmup=1)
+    emit({"stage": "halo_cpu_spmm", "seconds": round(t, 2),
+          "edges_per_s": round(E / t, 1), "devices": P,
+          "note": "virtual CPU mesh — validates layout/collectives at "
+                  "products scale, not TPU throughput"})
 
 
 def main():
@@ -163,4 +239,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--halo_cpu" in sys.argv:
+        halo_cpu_main()
+    else:
+        main()

@@ -15,7 +15,9 @@ from pathlib import Path
 
 import numpy as np
 
-from glnn_tpu.cli.common import add_common_args, apply_output_path_reroutes
+from glnn_tpu.cli.common import (add_common_args,
+                                 apply_output_path_reroutes,
+                                 setup_compile_cache)
 from glnn_tpu.graph.datasets import load_data, load_out_t
 from glnn_tpu.nn.models import Model
 from glnn_tpu.ops.graph_utils import compute_min_cut_loss, feature_prop
@@ -58,6 +60,7 @@ def run(args):
     if getattr(args, "ops_backend", "auto") != "auto":
         from glnn_tpu import ops
         ops.set_backend(args.ops_backend)
+    setup_compile_cache(args)
 
     apply_output_path_reroutes(args, is_student=True)
 

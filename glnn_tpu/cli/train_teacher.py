@@ -14,6 +14,7 @@ import argparse
 import numpy as np
 
 from glnn_tpu.cli.common import (
+    setup_compile_cache,
     add_common_args,
     apply_output_path_reroutes,
     teacher_output_dir,
@@ -40,7 +41,8 @@ def get_args(argv=None):
     return parser.parse_args(argv)
 
 
-_LOCALITY_MAX_EDGES = 20_000_000
+_LOCALITY_MAX_EDGES = 20_000_000          # numpy LP tier budget
+_LOCALITY_MAX_EDGES_NATIVE = 300_000_000  # C++ LP tier (products fits)
 
 
 def _locality_relabel(g, feats, labels, idxs, n_shards, logger):
@@ -57,9 +59,13 @@ def _locality_relabel(g, feats, labels, idxs, n_shards, logger):
         label_propagation_labels)
     from glnn_tpu.graph.host import reorder_nodes
 
+    from glnn_tpu import native
+
     n = g.num_nodes()
-    if g.num_edges() > _LOCALITY_MAX_EDGES:
-        logger.info("locality relabel skipped: graph above the numpy "
+    budget = (_LOCALITY_MAX_EDGES_NATIVE if native.available()
+              else _LOCALITY_MAX_EDGES)
+    if g.num_edges() > budget:
+        logger.info("locality relabel skipped: graph above the "
                     "label-propagation tier's edge budget")
         return g, feats, labels, idxs, None
     lab = label_propagation_labels(g.src, g.dst, n)
@@ -85,6 +91,7 @@ def run(args):
     if getattr(args, "ops_backend", "auto") != "auto":
         from glnn_tpu import ops
         ops.set_backend(args.ops_backend)
+    setup_compile_cache(args)
 
     apply_output_path_reroutes(args)
     output_dir = teacher_output_dir(args, args.teacher)

@@ -127,11 +127,19 @@ def label_propagation_labels(src: np.ndarray, dst: np.ndarray,
     (bandwidth reduction) recovers almost none of a planted-partition
     graph's structure once ids are shuffled (measured halo fraction
     0.80 at P=8 vs 0.10 for LP on the same graph — bench/scaling.py).
-    Pure numpy (sort + run-length per sweep, O(E log E)); fine up to
-    ~10M edges. Returns int64[n] labels.
+    Native C++ sweep (native/graphops.cpp label_propagation) when the
+    library is available — required at ogbn-products scale; numpy
+    (sort + run-length per sweep, O(E log E)) fallback/oracle.
+    Returns int64[n] labels.
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
+    from glnn_tpu import native
+
+    if native.available():
+        lab = native.label_propagation(src, dst, n_nodes, iters)
+        if lab is not None:
+            return lab
     ss = np.concatenate([src, dst])
     dd = np.concatenate([dst, src])
     lab = np.arange(n_nodes, dtype=np.int64)

@@ -50,6 +50,8 @@ def _load():
         ("induced_subgraph", [ctypes.c_int64, ctypes.c_int64, i64p, i64p,
                               ctypes.c_int64, i64p, i64p, i64p, i64p]),
         ("degrees", [ctypes.c_int64, ctypes.c_int64, i64p, i64p]),
+        ("label_propagation", [ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+                               ctypes.c_int64, i64p]),
         ("spmm_plan_num_tiles", [ctypes.c_int64, i64p, ctypes.c_int64,
                                  ctypes.c_int64, ctypes.c_int64]),
         ("spmm_plan_fill", [ctypes.c_int64, i64p, i64p, ctypes.c_int64,
@@ -137,6 +139,20 @@ def induced_subgraph(src, dst, n: int, idx):
     new_id[idx] = np.arange(k)
     keep = (new_id[src] >= 0) & (new_id[dst] >= 0)
     return new_id[src[keep]], new_id[dst[keep]]
+
+
+def label_propagation(src, dst, n: int, iters: int = 10):
+    """Native synchronous label propagation (graphops.cpp). Returns
+    int64[n] labels or None when the library is unavailable (callers
+    fall back to the numpy tier in distributed/partition.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _c64(src), _c64(dst)
+    labels = np.empty(n, np.int64)
+    lib.label_propagation(n, src.shape[0], _p(src), _p(dst), iters,
+                          _p(labels))
+    return labels
 
 
 def _p32(a: np.ndarray):

@@ -121,6 +121,66 @@ int64_t degrees(int64_t n, int64_t e, const int64_t* nodes,
   return 0;
 }
 
+// Synchronous label propagation over the symmetrized edge set
+// (distributed/partition.py label_propagation_labels contract): each
+// sweep every node adopts the most frequent label among its neighbors
+// (ties -> smallest label); stops early when < 0.1% of nodes change.
+// Labels start as node ids. labels_out: n slots. Returns the number
+// of sweeps executed. O(E log deg) per sweep via per-node sort of
+// neighbor labels — ~O(seconds) at ogbn-products scale, where the
+// numpy unique-based tier takes minutes.
+int64_t label_propagation(int64_t n, int64_t e, const int64_t* src,
+                          const int64_t* dst, int64_t iters,
+                          int64_t* labels_out) {
+  // symmetrized CSR (both directions)
+  std::vector<int64_t> indptr(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    indptr[src[i] + 1]++;
+    indptr[dst[i] + 1]++;
+  }
+  for (int64_t v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
+  std::vector<int64_t> indices(2 * (size_t)e);
+  std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
+  for (int64_t i = 0; i < e; ++i) {
+    indices[cursor[src[i]]++] = dst[i];
+    indices[cursor[dst[i]]++] = src[i];
+  }
+
+  std::vector<int64_t> prev(n), scratch;
+  for (int64_t v = 0; v < n; ++v) labels_out[v] = v;
+  int64_t sweep = 0;
+  for (; sweep < iters; ++sweep) {
+    std::copy(labels_out, labels_out + n, prev.begin());
+    int64_t changed = 0;
+    for (int64_t v = 0; v < n; ++v) {
+      int64_t lo = indptr[v], hi = indptr[v + 1];
+      if (hi == lo) continue;
+      scratch.resize(hi - lo);
+      for (int64_t j = lo; j < hi; ++j) scratch[j - lo] = prev[indices[j]];
+      std::sort(scratch.begin(), scratch.end());
+      int64_t best = scratch[0], best_cnt = 0, cnt = 1;
+      for (size_t j = 1; j <= scratch.size(); ++j) {
+        if (j < scratch.size() && scratch[j] == scratch[j - 1]) {
+          ++cnt;
+        } else {
+          if (cnt > best_cnt) {
+            best_cnt = cnt;
+            best = scratch[j - 1];
+          }
+          cnt = 1;
+        }
+      }
+      if (best != labels_out[v]) ++changed;
+      labels_out[v] = best;
+    }
+    if (changed * 1000 < n) {
+      ++sweep;
+      break;
+    }
+  }
+  return sweep;
+}
+
 // ------------------------------------------------------------------
 // SpMM execution-plan builder (ops/spmm_plan.py contract): tile the
 // dst-sorted edge list into fixed-size tiles, each owned by one

@@ -106,3 +106,33 @@ def test_native_spmm_plan_matches_numpy():
     np.testing.assert_array_equal(got.rec_local, want.rec_local)
     np.testing.assert_array_equal(got.src_idx, want.src_idx)
     np.testing.assert_array_equal(got.edge_perm, want.edge_perm)
+
+
+def test_native_label_propagation_matches_numpy():
+    import numpy as np
+
+    from glnn_tpu import native
+    from glnn_tpu.distributed import partition as pt
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rs = np.random.RandomState(7)
+    n, e = 3000, 24000
+    comm = rs.randint(0, 6, n)
+    members = [np.where(comm == k)[0] for k in range(6)]
+    src = rs.randint(0, n, e)
+    dst_in = np.array(
+        [members[comm[s]][rs.randint(len(members[comm[s]]))] for s in src])
+    dst = np.where(rs.rand(e) < 0.9, dst_in, rs.randint(0, n, e))
+
+    got = native.label_propagation(src, dst, n)
+
+    orig = native.available
+    native.available = lambda: False
+    try:
+        want = pt.label_propagation_labels(src, dst, n)
+    finally:
+        native.available = orig
+    np.testing.assert_array_equal(got, want)

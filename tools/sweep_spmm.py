@@ -71,7 +71,9 @@ def main():
         t_bf = chain_time(
             lambda c, gg, xx: sp.copy_u_sum(gg, xx + c).sum(
                 dtype=jnp.float32), (g, x))
-        t_i8 = t_bf
+        t_i8 = chain_time(
+            lambda c, gg, xx: sp.copy_u_sum_int8(gg, xx + c).sum(
+                dtype=jnp.float32), (g, x))
         print(f"tile={tile:5d} br={br:4d} pad={slots/E-1:+6.1%} "
               f"tiles={pf.num_tiles:5d} | reduce {t_red*1e3:6.2f} ms | "
               f"bf16 {t_bf*1e3:6.2f} ms ({E/t_bf/1e6:5.1f} Me/s) | "
