@@ -175,6 +175,18 @@ def run(args):
     elif args.exp_setting == "ind":
         indices = graph_split(idx_train, idx_val, idx_test, args.split_rate,
                               args.seed)
+        if unmap is not None:
+            # obs-local node ids follow idx_obs ORDER; sorting idx_obs
+            # ascending carries the community relabeling's locality into
+            # the observed subgraph's halo partition (the obs_idx_*
+            # position system is remapped accordingly — membership and
+            # the out[idx_obs] merge are unchanged)
+            obs_tr, obs_va, obs_te, idx_obs, idx_ind = indices
+            order_obs = np.argsort(idx_obs, kind="stable")
+            pos = np.empty_like(order_obs)
+            pos[order_obs] = np.arange(len(order_obs))
+            indices = (pos[np.asarray(obs_tr)], pos[np.asarray(obs_va)],
+                       pos[np.asarray(obs_te)], idx_obs[order_obs], idx_ind)
         obs_g = g.subgraph(indices[3])
         obs_G = obs_g.to_device(build_plans=build_plans)
         if args.feature_aug_k > 0:

@@ -128,6 +128,29 @@ def test_cli_n_shards_out_npz_parity(tmp_path, monkeypatch):
     assert agree > 0.99, f"CLI sharded/single agreement {agree}"
 
 
+def test_cli_n_shards_inductive_parity(tmp_path, monkeypatch):
+    """`--exp_setting ind --n_shards 8`: the halo-sharded inductive
+    teacher (locality relabel + sorted obs index system) matches the
+    single-device run's predictions."""
+    monkeypatch.chdir(tmp_path)
+    from glnn_tpu.cli import train_teacher
+
+    base = ["--device", "-1", "--dataset", "synth-n512-c5-f32-d8-noise3.0",
+            "--teacher", "GCN", "--exp_setting", "ind",
+            "--max_epoch", "15", "--patience", "10"]
+
+    train_teacher.main(base + ["--output_path", "out1"])
+    train_teacher.main(base + ["--output_path", "out8", "--n_shards", "8"])
+
+    f1 = next((tmp_path / "out1").rglob("out.npz"))
+    f8 = next((tmp_path / "out8").rglob("out.npz"))
+    o1 = np.load(f1)["arr_0"]
+    o8 = np.load(f8)["arr_0"]
+    assert o1.shape == o8.shape
+    agree = (o1.argmax(1) == o8.argmax(1)).mean()
+    assert agree > 0.99, f"ind CLI sharded/single agreement {agree}"
+
+
 def test_student_cli_n_shards(tmp_path, monkeypatch):
     """`--n_shards 8` student CLI: data-parallel distillation end-to-end
     against a teacher out.npz."""
