@@ -122,10 +122,15 @@ def main():
     kx, kl, ki, k0, k1, k2, k3, k4, k5 = jax.random.split(
         jax.random.PRNGKey(0), 9)
     x = jax.random.normal(kx, (N, F), jnp.float32)
+    _ = float(x[0, 0])
+    _stage("features generated on device", start)
     labels = jax.random.randint(kl, (N,), 0, 40)
     idx_train = jax.random.permutation(ki, N)[:90_000]
+    _ = float(labels[0]) + float(idx_train[0])
+    _stage("labels/splits generated", start)
 
     rpc = measure_rpc_floor()
+    _stage(f"rpc floor {rpc*1e3:.1f} ms", start)
     setup_end = time.monotonic()
     deadline = min(setup_end + DEADLINE_S, start + TOTAL_CAP_S)
 

@@ -120,6 +120,12 @@ def setup_compile_cache(args) -> None:
     try:
         import jax
 
+        if jax.default_backend() != "tpu":
+            # CPU AOT cache entries pin host machine features and can
+            # SIGILL when loaded under a different feature set (the
+            # virtual-device dryrun environment); the cache's payoff —
+            # the ~178s products epoch compile — is TPU-only anyway
+            return
         d = os.path.expanduser(path)
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)

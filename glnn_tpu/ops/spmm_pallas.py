@@ -85,6 +85,60 @@ def _kernel(block_id_ref, rec_local_ref, m_ref, out_ref):
         out_ref[:, :] = out_ref[:, :] + contrib
 
 
+def _block_kernel(rec_local_ref, m_ref, out_ref):
+    """Block-mode: ONE grid step per (f_block, dst block). The plan
+    guarantees every block owns exactly tiles_per_block consecutive
+    tiles, so there is no output revisiting (and no scalar prefetch);
+    the whole block's slots feed one [d, X] @ [X, fb] MXU dot. Cuts
+    the tiled kernel's ~5000 grid steps (~0.55us fixed cost each,
+    tools/probe_overlap.py) to num_blocks."""
+    d = out_ref.shape[0]
+    x = m_ref.shape[0]
+    rec = rec_local_ref[0].reshape(1, x)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, x), 0)
+    one_hot = (row_ids == rec).astype(m_ref.dtype)
+    out_ref[:, :] = jnp.dot(one_hot, m_ref[:, :],
+                            preferred_element_type=out_ref.dtype)
+
+
+def _segment_reduce_block(plan: SpmmPlan, messages: jax.Array,
+                          interpret: bool) -> jax.Array:
+    t_sz, d, tpb = plan.tile, plan.block_rows, plan.tiles_per_block
+    x = t_sz * tpb
+    f = messages.shape[1]
+    f_pad = -(-f // 128) * 128
+    if f_pad != f:
+        messages = jnp.pad(messages, ((0, 0), (0, f_pad - f)))
+    fb = min(F_BLOCK, f_pad)
+    n_fb = f_pad // fb
+
+    rec_local = plan.rec_local.reshape(plan.num_blocks, 1, x)
+    grid = (n_fb, plan.num_blocks)
+    acc_dtype = jnp.int32 if messages.dtype == jnp.int8 else jnp.float32
+    flops = 2 * plan.num_blocks * d * x * f_pad
+    return pl.pallas_call(
+        _block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, x), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((x, fb), lambda j, b: (b, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, fb), lambda j, b: (b, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((plan.num_blocks * d, f_pad),
+                                       acc_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(messages.size * messages.dtype.itemsize
+                               + plan.num_blocks * d * f_pad * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rec_local, messages)[:, :f]
+
+
 def segment_reduce(plan: SpmmPlan, messages: jax.Array,
                    interpret: bool | None = None) -> jax.Array:
     """messages: [num_tiles*tile, F] planned message rows ->
@@ -94,6 +148,8 @@ def segment_reduce(plan: SpmmPlan, messages: jax.Array,
     pallas backends remain runnable (slowly) in CPU tests."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if plan.tiles_per_block is not None:
+        return _segment_reduce_block(plan, messages, interpret)
     t_sz, d = plan.tile, plan.block_rows
     f = messages.shape[1]
     f_pad = -(-f // 128) * 128

@@ -35,7 +35,7 @@ import numpy as np
     jax.tree_util.register_dataclass,
     data_fields=["src_idx", "edge_perm", "rec_local", "block_id"],
     meta_fields=["tile", "block_rows", "num_blocks", "num_tiles", "e_orig",
-                 "row0"],
+                 "row0", "tiles_per_block"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpmmPlan:
@@ -64,6 +64,12 @@ class SpmmPlan:
     # first output row this plan covers (chunked plans partition the
     # dst-block range; single plans have row0 == 0)
     row0: int = 0
+    # block-mode marker: when set, every block owns exactly this many
+    # consecutive tiles (ghost-padded), and the kernel runs ONE grid
+    # step per (f_block, block) with no output revisiting — measured
+    # ~0.55us of fixed per-step cost makes the tiled kernel's ~5000
+    # steps the bottleneck (tools/probe_overlap.py r3)
+    tiles_per_block: int | None = None
 
 
 def plan_to_device(plan: SpmmPlan) -> SpmmPlan:
@@ -178,6 +184,87 @@ def build_spmm_plan(receivers: np.ndarray, senders: np.ndarray,
     return plan_to_device(plan) if device else plan
 
 
+def build_block_plan(receivers: np.ndarray, senders: np.ndarray,
+                     n_nodes: int, tile: int = 256,
+                     block_rows: int = 256,
+                     n_src: int | None = None,
+                     device: bool = True) -> SpmmPlan | None:
+    """Uniform tiles-per-block plan for the block-mode kernel: every
+    dst block owns exactly T = max(ceil(edges_b / tile), 1) consecutive
+    tiles (ghost slots pad the tail), so the kernel runs ONE grid step
+    per block — no output revisiting and ~8-15x fewer grid steps than
+    the tiled plan (whose ~0.55us/step fixed cost dominates the reduce,
+    tools/probe_overlap.py).
+
+    Returns None when block-mode would be wasteful or oversized —
+    skewed degree distributions blow T up to the worst block's count:
+      * padded slots > 1.3x the tiled plan's (each padded slot costs
+        full gather price — measured ghost/real = 0.96), or
+      * T*tile > 8192 slots (the ~4MB bf16 message block + double
+        buffering must fit VMEM).
+    Callers fall back to build_spmm_plan.
+    """
+    rec = np.asarray(receivers, np.int64)
+    snd = np.asarray(senders, np.int64)
+    if n_src is None:
+        n_src = n_nodes
+    n_edges = rec.shape[0]
+    if n_edges > 1 and (np.diff(rec) < 0).any():
+        raise ValueError("receivers must be dst-sorted")
+    num_blocks = max(1, -(-n_nodes // block_rows))
+
+    starts = np.searchsorted(rec // block_rows, np.arange(num_blocks),
+                             "left")
+    ends = np.searchsorted(rec // block_rows, np.arange(num_blocks),
+                           "right")
+    counts = ends - starts
+    tiles_b = np.maximum(-(-counts // tile), 1)
+    t_max = int(tiles_b.max())
+    if t_max * tile > 8192:
+        return None
+    slots_block = num_blocks * t_max * tile
+    slots_tiled = int(tiles_b.sum()) * tile
+    if slots_block > 1.3 * slots_tiled:
+        return None
+
+    x = t_max * tile
+    slot = np.arange(x)
+    edge_idx = starts[:, None] + slot[None, :]             # [B, X]
+    valid = edge_idx < ends[:, None]
+    edge_idx_c = np.minimum(edge_idx, n_edges - 1 if n_edges else 0)
+
+    src_idx = np.where(valid, snd[edge_idx_c], n_src).astype(np.int32)
+    edge_perm = np.where(valid, edge_idx_c, n_edges).astype(np.int32)
+    rec_local = np.where(
+        valid, rec[edge_idx_c] - np.arange(num_blocks)[:, None] * block_rows,
+        block_rows).astype(np.int32)
+
+    # one-hot reduction is slot-order-invariant within a STEP — i.e.
+    # the whole block here — so sort the full block's slots by source
+    # for gather locality (ghosts last)
+    order = np.argsort(np.where(valid, src_idx, np.iinfo(np.int32).max),
+                       axis=1, kind="stable")
+    take = np.take_along_axis
+    src_idx = take(src_idx, order, axis=1)
+    edge_perm = take(edge_perm, order, axis=1)
+    rec_local = take(rec_local, order, axis=1)
+
+    num_tiles = num_blocks * t_max
+    plan = SpmmPlan(
+        src_idx=src_idx.reshape(-1),
+        edge_perm=edge_perm.reshape(-1),
+        rec_local=rec_local.reshape(num_tiles, tile),
+        block_id=np.repeat(np.arange(num_blocks, dtype=np.int32), t_max),
+        tile=tile,
+        block_rows=block_rows,
+        num_blocks=int(num_blocks),
+        num_tiles=num_tiles,
+        e_orig=int(n_edges),
+        tiles_per_block=t_max,
+    )
+    return plan_to_device(plan) if device else plan
+
+
 # Slot budget per chunk plan: bounds the materialized message tensor
 # (slots x F_pad x 2B bf16). 4M slots = 2 GiB at F_pad=256 — safely
 # inside v5e HBM next to products-scale features + activations.
@@ -189,7 +276,9 @@ def build_chunked_plans(receivers: np.ndarray, senders: np.ndarray,
                         block_rows: int = 512, n_src: int | None = None,
                         max_slots: int = MAX_SLOTS_PER_CHUNK,
                         edge_base: int = 0, e_global: int | None = None,
-                        device: bool = True):
+                        device: bool = True, block_mode: bool = True,
+                        block_mode_tile: int = 256,
+                        block_mode_rows: int = 256):
     """Plan a dst-sorted edge list as one SpmmPlan, or — when the slot
     count exceeds `max_slots` — a TUPLE of chunk plans cut at dst-BLOCK
     boundaries (SURVEY.md §2.3 row 1 at ogbn-products scale, where the
@@ -210,8 +299,21 @@ def build_chunked_plans(receivers: np.ndarray, senders: np.ndarray,
                          minlength=-(-n_nodes // block_rows)).astype(np.int64)
     slots_per_block = np.maximum(-(-counts // tile), 1) * tile
     if slots_per_block.sum() <= max_slots:
-        plan = build_spmm_plan(rec, snd, n_nodes, tile, block_rows,
-                               n_src=n_src, device=False)
+        plan = None
+        if block_mode:
+            # prefer the block-mode geometry (one grid step per dst
+            # block; (256, 256) won the r3 v5e sweep — 160.6M edges/s
+            # bf16 / 192.6M int8 vs 140.9M tiled, tools/
+            # probe_blockmode.py); build_block_plan declines on
+            # skewed/oversized inputs and we fall back to the tiled
+            # plan at the caller's geometry
+            plan = build_block_plan(rec, snd, n_nodes,
+                                    tile=block_mode_tile,
+                                    block_rows=block_mode_rows,
+                                    n_src=n_src, device=False)
+        if plan is None:
+            plan = build_spmm_plan(rec, snd, n_nodes, tile, block_rows,
+                                   n_src=n_src, device=False)
         plan = _globalize_edge_perm(plan, edge_base, e_global)
         return plan_to_device(plan) if device else plan
 
@@ -238,11 +340,21 @@ def build_chunked_plans(receivers: np.ndarray, senders: np.ndarray,
         # chunk-local default would make padding slots gather an
         # arbitrary real feature row (masked by the zero one-hot, but
         # 0 * non-finite = NaN through the MXU).
-        sub = build_spmm_plan(rec[e0:e1] - cb0 * block_rows, snd[e0:e1],
-                              rows, tile, block_rows,
-                              n_src=(n_src if n_src is not None
-                                     else n_nodes),
-                              device=False)
+        sub = None
+        if block_mode and rows % block_mode_rows == 0:
+            sub = build_block_plan(rec[e0:e1] - cb0 * block_rows,
+                                   snd[e0:e1], rows,
+                                   tile=block_mode_tile,
+                                   block_rows=block_mode_rows,
+                                   n_src=(n_src if n_src is not None
+                                          else n_nodes),
+                                   device=False)
+        if sub is None:
+            sub = build_spmm_plan(rec[e0:e1] - cb0 * block_rows,
+                                  snd[e0:e1], rows, tile, block_rows,
+                                  n_src=(n_src if n_src is not None
+                                         else n_nodes),
+                                  device=False)
         sub = _globalize_edge_perm(sub, edge_base + e0, e_global)
         sub = dataclasses.replace(sub, row0=cb0 * block_rows)
         plans.append(plan_to_device(sub) if device else sub)

@@ -380,6 +380,47 @@ def test_segment_softmax_grad_matches_refops():
     np.testing.assert_allclose(d_got, d_want, rtol=1e-4, atol=1e-6)
 
 
+def test_block_mode_plan_parity_and_fallback():
+    """Block-mode plan (uniform tiles-per-block, one grid step per dst
+    block) must match refops for fwd + grad, and decline on skew."""
+    from glnn_tpu.ops import spmm_pallas as sp
+    from glnn_tpu.ops.spmm_plan import build_block_plan, build_spmm_plan
+
+    rs = np.random.RandomState(31)
+    n, e = 3000, 40000
+    src = rs.randint(0, n, e).astype(np.int64)
+    dst = rs.randint(0, n, e).astype(np.int64)
+    g = _graph_from(src, dst, n)
+    pf = g.plans[0] if not isinstance(g.plans[0], tuple) else g.plans[0][0]
+    assert pf.tiles_per_block is not None, "uniform graph should pick block-mode"
+
+    x = jnp.asarray(rs.randn(n, 24).astype(np.float32))
+    want = np.asarray(refops.copy_u_sum(g, x))
+    got = np.asarray(sp.copy_u_sum(g, x)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2,
+                               atol=np.abs(want).max() * 5e-3)
+
+    gw = jax.grad(lambda xx: (refops.copy_u_sum(g, xx) ** 2).sum())(x)
+    gg = jax.grad(lambda xx: (sp.copy_u_sum(g, xx) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), rtol=2e-2,
+                               atol=np.abs(np.asarray(gw)).max() * 1e-2)
+
+    # extreme skew: a hub star -> worst block dominates -> decline
+    hub_dst = np.zeros(20000, np.int64)
+    hub_src = rs.randint(0, n, 20000).astype(np.int64)
+    order = np.argsort(hub_dst, kind="stable")
+    assert build_block_plan(hub_dst[order], hub_src[order], n) is None
+    # the tiled fallback still plans it
+    tiled = build_spmm_plan(hub_dst[order], hub_src[order], n)
+    assert tiled.tiles_per_block is None
+
+
+def _graph_from(src, dst, n):
+    from glnn_tpu.graph.container import build_graph
+
+    return build_graph(src, dst, n).with_plans(softmax=False)
+
+
 def test_with_plans_auto_builds_softmax_and_dispatches(monkeypatch):
     """r2 VERDICT weak #4: the Pallas softmax tier must be reachable
     from plain ``with_plans()`` — no CLI/model-name involvement."""

@@ -66,8 +66,7 @@ def main():
             best = min(best, (tk - t1) / (k - 1))
         return max(best, 1e-9)
 
-    geos = [(512, 512), (512, 256), (384, 256), (256, 256),
-            (512, 128), (256, 128)]
+    geos = [(512, 512), (512, 256), (256, 256), (512, 128)]
     t0 = time.monotonic()
     for tile, br in geos:
         gh = build_graph(src, dst, N, device=False).with_plans(
