@@ -158,34 +158,39 @@ def main():
     gen_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    g = build_graph(src, dst, N)
+    g = build_graph(src, dst, N, device=False)
     ingest_s = time.perf_counter() - t0
     del src, dst
     emit({"stage": "ingest", "seconds": round(ingest_s, 2),
           "host_gen_s": round(gen_s, 2)})
 
     t0 = time.perf_counter()
-    g = g.with_plans()
+    g = g.with_plans(softmax=False, device=False)
     plan_s = time.perf_counter() - t0
     from glnn_tpu.ops.spmm_plan import plan_slots
     pf, pb = g.plans
     emit({"stage": "chunked_plans", "seconds": round(plan_s, 2),
           "fwd_chunks": len(pf) if isinstance(pf, tuple) else 1,
           "bwd_chunks": len(pb) if isinstance(pb, tuple) else 1,
+          "block_mode": (pf[0] if isinstance(pf, tuple) else pf
+                         ).tiles_per_block is not None,
           "slots": int(plan_slots(pf)),
           "pad_frac": round(plan_slots(pf) / E - 1, 4)})
 
-    # explicit device transfer stage (the dev relay has ~45s per-array
-    # overhead; on a real TPU host this is PCIe-speed and negligible)
+    # ONE packed upload for graph+plans (utils/packing.py; the dev
+    # relay charges ~45s per transfer — r2 shipped arrays singly and
+    # paid 963s); features/labels/splits are generated on device
+    from glnn_tpu.utils.packing import ship_packed
     t0 = time.perf_counter()
-    feats = jnp.asarray(rs.randn(N, F).astype(np.float32))
-    labels = jnp.asarray(rs.randint(0, C, N))
-    idx_train = jnp.asarray(rs.choice(N, TRAIN, replace=False))
-    g = jax.device_put(g)
-    for leaf in jax.tree_util.tree_leaves((g, feats, labels, idx_train)):
-        _ = float(jnp.asarray(leaf).ravel()[0])
+    g = ship_packed(g)
+    kf, kl2, ki2 = jax.random.split(jax.random.PRNGKey(7), 3)
+    feats = jax.random.normal(kf, (N, F), jnp.float32)
+    labels = jax.random.randint(kl2, (N,), 0, C)
+    idx_train = jax.random.permutation(ki2, N)[:TRAIN]
+    _ = float(feats[0, 0]) + float(labels[0]) + float(idx_train[0])
     emit({"stage": "device_transfer",
-          "seconds": round(time.perf_counter() - t0, 2)})
+          "seconds": round(time.perf_counter() - t0, 2),
+          "note": "one packed upload + on-device generation"})
 
     # bare chunked-Pallas SpMM at full products scale. The graph is a
     # jit ARGUMENT: closing over it would embed the ~1GB of plan
