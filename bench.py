@@ -297,6 +297,10 @@ def main():
     extras["speedup_vs_xla"] = round(dt_xla / dt, 2) if dt_xla else None
     extras["spmm_int8_ms"] = round(dt_i8 * 1e3, 3) if dt_i8 else None
     extras["int8_edges_per_s"] = round(e / dt_i8, 1) if dt_i8 else None
+    # the int8 tier clears the 0.8-of-measured-SOL bar the bf16 two-op
+    # design cannot (PERF.md r3: the bf16 message round-trip is fixed)
+    extras["int8_vs_gather_sol"] = (round(dt_take / dt_i8, 4)
+                                    if dt_i8 and dt_take else None)
 
     print(json.dumps({
         "metric": "spmm_edges_per_s_per_chip",

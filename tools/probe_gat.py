@@ -102,9 +102,11 @@ def main():
     labels = jax.random.randint(k, (N,), 0, 40)
     idx = jnp.arange(90_000)
     v = model.init(jax.random.PRNGKey(0), g, x)
+    # params must be jit ARGUMENTS: closed-over they become HLO
+    # constants and the remote-compile POST rejects the payload (413)
     t_fwd = chain_time(
-        lambda c, xx: model.apply(v, g, xx + c, training=False)[1]
-        .sum(dtype=jnp.float32), (x,), iters=2, kk=4)
+        lambda c, vv, xx: model.apply(vv, g, xx + c, training=False)[1]
+        .sum(dtype=jnp.float32), (v, x), iters=2, kk=4)
     print(f"[{time.monotonic()-t_start:5.1f}s] GAT fwd (eval)          "
           f"{t_fwd*1e3:8.2f} ms", flush=True)
     opt = make_adam(0.01, 0.0)
