@@ -26,7 +26,11 @@ CPF = ["cora", "citeseer", "pubmed", "a-computer", "a-photo"]
 SYNTH = ["synth-n2048-c7-f128-d10-noise3.0"]
 
 
+_EXTRA_FLAGS: dict = {}
+
+
 def _run(cli: str, out_file: str | None, label: str | None, **flags) -> None:
+    flags = dict(_EXTRA_FLAGS, **flags)
     cmd = [sys.executable, str(REPO / cli)]
     for k, v in flags.items():
         cmd += [f"--{k}", str(v)]
@@ -162,7 +166,11 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("experiment", choices=sorted(EXPERIMENTS))
     p.add_argument("--datasets", nargs="*", default=CPF)
+    p.add_argument("--device", type=int, default=None,
+                   help="forwarded to the CLIs (-1 forces CPU)")
     args = p.parse_args()
+    if args.device is not None:
+        _EXTRA_FLAGS["device"] = args.device
     EXPERIMENTS[args.experiment](args.datasets)
 
 
