@@ -31,9 +31,12 @@ num_blocks sequential passes of X (23x more bytes than the gather
 moves at only ~5x more bandwidth); radix/bucketed scatter dies on the
 absence of a VMEM row shuffle (any in-VMEM rearrangement is itself a
 2*width*F-flop one-hot matmul); an in-kernel DMA gather is
-descriptor-issue-bound (~20M rows/s). The op is within ~15% of the
-measured gather speed-of-light; the slot count (padding) is the only
-remaining lever, which the tile=512 default minimizes.
+descriptor-issue-bound (~20M rows/s). Since r3 the default is the
+BLOCK-MODE kernel (`_block_kernel`): one grid step per dst block with
+no output revisiting — 167.7M edges/s bf16 / 221.7M int8 at
+arxiv-scale (see PERF.md r3 for the full decomposition; the remaining
+gap to the gather speed-of-light is the materialized message
+round-trip, structural for any two-op design).
 """
 
 from __future__ import annotations
