@@ -52,6 +52,12 @@ def _load():
         ("degrees", [ctypes.c_int64, ctypes.c_int64, i64p, i64p]),
         ("label_propagation", [ctypes.c_int64, ctypes.c_int64, i64p, i64p,
                                ctypes.c_int64, i64p]),
+        ("spmm_block_plan_tmax", [ctypes.c_int64, i64p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64]),
+        ("spmm_block_plan_fill", [ctypes.c_int64, i64p, i64p,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, "i32p", "i32p", "i32p"]),
         ("spmm_plan_num_tiles", [ctypes.c_int64, i64p, ctypes.c_int64,
                                  ctypes.c_int64, ctypes.c_int64]),
         ("spmm_plan_fill", [ctypes.c_int64, i64p, i64p, ctypes.c_int64,
@@ -157,6 +163,32 @@ def label_propagation(src, dst, n: int, iters: int = 10):
 
 def _p32(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def spmm_block_plan_arrays(rec, snd, n_nodes: int, n_src: int, tile: int,
+                           block_rows: int):
+    """Native block-mode plan build (see native/graphops.cpp).
+    Returns (src_idx, edge_perm, rec_local [all i32, B*t_max*tile],
+    t_max, num_blocks) or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rec, snd = _c64(rec), _c64(snd)
+    e = rec.shape[0]
+    t_max = lib.spmm_block_plan_tmax(e, _p(rec), n_nodes, tile, block_rows)
+    if t_max < 0:
+        raise ValueError("receivers not dst-sorted")
+    num_blocks = max(1, -(-n_nodes // block_rows))
+    size = num_blocks * t_max * tile
+    src_idx = np.empty(size, np.int32)
+    edge_perm = np.empty(size, np.int32)
+    rec_local = np.empty(size, np.int32)
+    got = lib.spmm_block_plan_fill(e, _p(rec), _p(snd), n_nodes, n_src,
+                                   tile, block_rows, t_max,
+                                   _p32(src_idx), _p32(edge_perm),
+                                   _p32(rec_local))
+    assert got == num_blocks
+    return src_idx, edge_perm, rec_local, int(t_max), num_blocks
 
 
 def spmm_plan_arrays(rec, snd, n_nodes: int, n_src: int, tile: int,

@@ -227,6 +227,32 @@ def build_block_plan(receivers: np.ndarray, senders: np.ndarray,
     if slots_block > 1.3 * slots_tiled:
         return None
 
+    # native single-pass fill (per-block stable sort by src) — the
+    # numpy axis-1 argsort below costs ~40s at ogbn-products scale
+    from glnn_tpu import native
+
+    if native.available():
+        arrays = native.spmm_block_plan_arrays(rec, snd, n_nodes, n_src,
+                                               tile, block_rows)
+        if arrays is not None:
+            s_i, e_p, r_l, t_nat, nb = arrays
+            assert t_nat == t_max and nb == num_blocks
+            num_tiles = num_blocks * t_max
+            plan = SpmmPlan(
+                src_idx=s_i,
+                edge_perm=e_p,
+                rec_local=r_l.reshape(num_tiles, tile),
+                block_id=np.repeat(
+                    np.arange(num_blocks, dtype=np.int32), t_max),
+                tile=tile,
+                block_rows=block_rows,
+                num_blocks=int(num_blocks),
+                num_tiles=num_tiles,
+                e_orig=int(n_edges),
+                tiles_per_block=int(t_max),
+            )
+            return plan_to_device(plan) if device else plan
+
     x = t_max * tile
     slot = np.arange(x)
     edge_idx = starts[:, None] + slot[None, :]             # [B, X]

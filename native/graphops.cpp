@@ -258,4 +258,68 @@ int64_t spmm_plan_fill(int64_t e, const int64_t* rec, const int64_t* snd,
   return t;
 }
 
+// ------------------------------------------------------------------
+// Block-mode SpMM plan (ops/spmm_plan.py build_block_plan contract):
+// every dst block owns exactly t_max consecutive tiles; slots sorted
+// by source across the whole block (ghosts last). The numpy builder's
+// axis-1 argsort over the [B, t_max*tile] matrix costs ~40s at
+// ogbn-products scale; this is a per-block std::stable_sort pass.
+// ------------------------------------------------------------------
+
+// Max tiles any block needs (>= 1 per block); -1 if rec unsorted.
+int64_t spmm_block_plan_tmax(int64_t e, const int64_t* rec,
+                             int64_t n_nodes, int64_t tile,
+                             int64_t block_rows) {
+  int64_t num_blocks = (n_nodes + block_rows - 1) / block_rows;
+  if (num_blocks < 1) num_blocks = 1;
+  for (int64_t i = 1; i < e; ++i)
+    if (rec[i] < rec[i - 1]) return -1;
+  std::vector<int64_t> counts(num_blocks, 0);
+  for (int64_t i = 0; i < e; ++i) counts[rec[i] / block_rows]++;
+  int64_t t_max = 1;
+  for (int64_t b = 0; b < num_blocks; ++b) {
+    int64_t t = (counts[b] + tile - 1) / tile;
+    if (t > t_max) t_max = t;
+  }
+  return t_max;
+}
+
+// Fill block-mode plan arrays, each sized num_blocks * t_max * tile
+// (int32): src_idx, edge_perm, rec_local. Returns num_blocks.
+int64_t spmm_block_plan_fill(int64_t e, const int64_t* rec,
+                             const int64_t* snd, int64_t n_nodes,
+                             int64_t n_src, int64_t tile,
+                             int64_t block_rows, int64_t t_max,
+                             int32_t* src_idx, int32_t* edge_perm,
+                             int32_t* rec_local) {
+  int64_t num_blocks = (n_nodes + block_rows - 1) / block_rows;
+  if (num_blocks < 1) num_blocks = 1;
+  int64_t x = t_max * tile;
+  std::vector<int64_t> order;
+  int64_t i = 0;
+  for (int64_t b = 0; b < num_blocks; ++b) {
+    int64_t end = i;
+    while (end < e && rec[end] / block_rows == b) ++end;
+    int64_t m = end - i;
+    order.resize(m);
+    std::iota(order.begin(), order.end(), i);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t c) { return snd[a] < snd[c]; });
+    int64_t base = b * x;
+    for (int64_t s = 0; s < m; ++s) {
+      int64_t eid = order[s];
+      src_idx[base + s] = (int32_t)snd[eid];
+      edge_perm[base + s] = (int32_t)eid;
+      rec_local[base + s] = (int32_t)(rec[eid] - b * block_rows);
+    }
+    for (int64_t s = m; s < x; ++s) {
+      src_idx[base + s] = (int32_t)n_src;
+      edge_perm[base + s] = (int32_t)e;
+      rec_local[base + s] = (int32_t)block_rows;
+    }
+    i = end;
+  }
+  return num_blocks;
+}
+
 }  // extern "C"

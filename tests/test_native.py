@@ -136,3 +136,36 @@ def test_native_label_propagation_matches_numpy():
     finally:
         native.available = orig
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_block_plan_matches_numpy():
+    import numpy as np
+
+    from glnn_tpu import native
+    from glnn_tpu.ops import spmm_plan as sp
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rs = np.random.RandomState(9)
+    n, e = 5000, 60000
+    snd = rs.randint(0, n, e).astype(np.int64)
+    rec = np.sort(rs.randint(0, n, e)).astype(np.int64)
+
+    got = sp.build_block_plan(rec, snd, n, device=False)
+
+    orig = native.available
+    native.available = lambda: False
+    try:
+        want = sp.build_block_plan(rec, snd, n, device=False)
+    finally:
+        native.available = orig
+
+    assert got is not None and want is not None
+    assert got.tiles_per_block == want.tiles_per_block
+    np.testing.assert_array_equal(got.src_idx, want.src_idx)
+    np.testing.assert_array_equal(got.edge_perm, want.edge_perm)
+    np.testing.assert_array_equal(np.asarray(got.rec_local),
+                                  np.asarray(want.rec_local))
+    np.testing.assert_array_equal(got.block_id, want.block_id)
