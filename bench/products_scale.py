@@ -54,15 +54,31 @@ def time_scalar(fn, *args, iters=2, warmup=1):
     return (time.perf_counter() - t0) / iters
 
 
-OUT_PATH = os.path.join(os.path.dirname(__file__), "products_scale_r3.json")
+OUT_PATH = os.path.join(os.path.dirname(__file__), "products_scale_r4.json")
 _rows = []
 
 
 def emit(obj):
     print(json.dumps(obj), flush=True)
-    _rows.append(obj)
     # append-per-line: the TPU stages (main) and the CPU-mesh stages
-    # (--halo_cpu) run as separate processes writing one artifact
+    # (--halo_cpu) run as separate processes writing one artifact.
+    # First emit of a process truncates any stale rows tagged with the
+    # same mode (re-runs replace, not duplicate).
+    def _mode(row):
+        return ("halo_cpu" if str(row.get("stage", "")).startswith(
+            "halo_cpu") else "tpu")
+
+    mode = _mode(obj)
+    if not _rows:
+        kept = []
+        if os.path.exists(OUT_PATH):
+            with open(OUT_PATH) as f:
+                kept = [ln for ln in f.read().splitlines() if ln.strip()
+                        and _mode(json.loads(ln)) != mode]
+        with open(OUT_PATH, "w") as f:
+            for ln in kept:
+                f.write(ln + "\n")
+    _rows.append(obj)
     with open(OUT_PATH, "a") as f:
         f.write(json.dumps(obj) + "\n")
 

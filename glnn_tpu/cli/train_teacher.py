@@ -133,18 +133,19 @@ def run(args):
     state_out = {} if args.save_results else None
     n_shards = int(conf.get("n_shards", 1) or 1)
     # GNN teachers get the Pallas SpMM plan; MLP never touches the
-    # graph. with_plans' auto policy also builds the segment-softmax
-    # plan (ops/softmax_plan.py) on any non-huge graph, so GAT's
-    # attention normalization runs the Pallas tier with no model-name
-    # special-casing here.
+    # graph. Only GAT consults the attention plan (ops.edge_softmax /
+    # fused attention), so non-attention teachers skip its ~16B/edge of
+    # index arrays; GAT keeps the auto policy (None) so products-scale
+    # graphs still decline it.
     build_plans = not model.is_mlp
+    smx_plans = None if "GAT" in conf["model_name"] else False
     unmap = None
     if n_shards > 1 and not model.is_mlp:
         (g, feats, labels, (idx_train, idx_val, idx_test),
          unmap) = _locality_relabel(
             g, feats, labels, (idx_train, idx_val, idx_test), n_shards,
             logger)
-    G = g.to_device(build_plans=build_plans)
+    G = g.to_device(build_plans=build_plans, softmax_plans=smx_plans)
 
     def _to_halo(host_g, want_plans):
         """Graph-partitioned halo view over the first n_shards devices

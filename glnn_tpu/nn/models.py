@@ -196,6 +196,11 @@ class APPNP(nn.Module):
         return h_list, h
 
 
+# (module class name -> feature width) pairs whose ring-graph init
+# swap has already been shape-verified this process (see Model.init)
+_SWAP_VERIFIED: dict = {}
+
+
 class Model:
     """Substring-dispatch wrapper + functional apply helpers.
 
@@ -236,10 +241,13 @@ class Model:
     # -- functional API ----------------------------------------------
     def init(self, key: jax.Array, g: Optional[Graph], feats: jax.Array):
         """Initialize parameters. Shapes depend only on the feature
-        width, so large graphs are swapped for a tiny ring graph —
-        init never traces (or executes) a full-graph forward. Initial
-        parameter values are identical either way (flax init RNG is
-        keyed by parameter path, not by input data)."""
+        width, so large graphs are swapped for a tiny ring graph.
+        The first init per (module class, feature width) additionally
+        runs an abstract shape-trace on the real graph to verify the
+        swap's soundness (graph-only ops inside it execute eagerly, so
+        this one trace can touch the full graph); repeat inits skip it.
+        Initial parameter values are identical either way (flax init
+        RNG is keyed by parameter path, not by input data)."""
         if self.is_mlp:
             return self.module.init({"params": key}, feats[:2],
                                     training=False)
@@ -253,13 +261,17 @@ class Model:
             g_ring = build_graph(ring, (ring + 1) % 64, 64)
             variables = self.module.init({"params": key}, g_ring,
                                          feats[:64], training=False)
-            if g_orig is not None:
+            if g_orig is not None and _SWAP_VERIFIED.get(
+                    type(self.module).__name__) != feats.shape[-1]:
                 # the swap is only sound while layer init is
                 # graph-independent; verify via an abstract trace on the
-                # real graph (no compute) so a future layer whose
-                # parameter shapes depend on graph statistics fails
-                # loudly instead of silently training with ring-shaped
-                # parameters
+                # real graph so a future layer whose parameter shapes
+                # depend on graph statistics fails loudly instead of
+                # silently training with ring-shaped parameters. The
+                # trace is abstract for parameters but executes concrete
+                # graph-only ops eagerly, so run it ONCE per (module
+                # class, feature width) per process, not on every init.
+                _SWAP_VERIFIED[type(self.module).__name__] = feats.shape[-1]
                 want = jax.eval_shape(
                     lambda k: self.module.init({"params": k}, g_orig,
                                                feats_orig, training=False),

@@ -5,7 +5,7 @@ Tiers (same API, parity-tested against each other):
   b) pallas — MXU one-hot-matmul SpMM (ops/spmm_pallas.py; block-mode
      kernel since r3); selected automatically on TPU for graphs
      carrying SpmmPlans (to_device(build_plans=True)), ~3.1x the XLA
-     tier on v5e (167.7M edges/s arxiv-scale)
+     tier on v5e (155.3M edges/s arxiv-scale, driver-verified BENCH_r03)
   c) sharded — shard_map + halo exchange (distributed/)
 
 `set_backend` forces a tier: "auto" (default), "xla", "pallas".

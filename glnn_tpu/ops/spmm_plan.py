@@ -209,6 +209,11 @@ def build_block_plan(receivers: np.ndarray, senders: np.ndarray,
     if n_src is None:
         n_src = n_nodes
     n_edges = rec.shape[0]
+    if n_edges == 0:
+        # the numpy fill below fancy-indexes snd with clamped indices
+        # before the valid mask applies — IndexError on an empty edge
+        # list. The tiled builder handles E=0 (all-ghost plan); decline.
+        return None
     if n_edges > 1 and (np.diff(rec) < 0).any():
         raise ValueError("receivers must be dst-sorted")
     num_blocks = max(1, -(-n_nodes // block_rows))
