@@ -120,7 +120,7 @@ class HostGraph:
     def to_device(self, pad_to: int | None = None,
                   build_plans: bool = False,
                   softmax_plans: bool | None = None) -> Graph:
-        from glnn_tpu.ops.softmax_plan import softmax_auto
+        from glnn_tpu.ops.attention_plan import softmax_auto
 
         want_smx = (softmax_auto(self.num_edges())
                     if softmax_plans is None else softmax_plans)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from glnn_tpu.graph.container import Graph
 from glnn_tpu.nn import initializers as gi
-from glnn_tpu.ops import copy_u_sum, edge_softmax, gcn_norm_both, u_add_v, u_mul_e_sum
+from glnn_tpu.ops import (copy_u_sum, gat_attention, gcn_norm_both,
+                          u_mul_e_sum)
 
 
 class SAGEConvGCN(nn.Module):
@@ -116,15 +117,15 @@ class GATConv(nn.Module):
                             (self.num_heads, self.out_dim))
         attn_r = self.param("attn_r", gi.attn_vector_normal(),
                             (self.num_heads, self.out_dim))
-        el = jnp.sum(feat * attn_l, axis=-1)  # [N, H]
-        er = jnp.sum(feat * attn_r, axis=-1)
-
-        e = u_add_v(g, el, er)                # [E, H]
-        e = nn.leaky_relu(e, self.negative_slope)
-        alpha = edge_softmax(g, e)            # [E, H]
-        alpha = nn.Dropout(self.attn_drop, deterministic=not training)(alpha)
-
-        out = u_mul_e_sum(g, feat, alpha)     # [N, H, D]
+        # one fused op (scores -> softmax -> attn dropout -> weighted
+        # aggregate): the Pallas tier runs it entirely in slot space
+        # (ops/gat_pallas.py); graphs without an attention plan compose
+        # the per-op tiers inside the dispatcher with the same math
+        drop = self.attn_drop if training else 0.0
+        rng = self.make_rng("dropout") if drop > 0.0 else None
+        out = gat_attention(g, feat, attn_l, attn_r,
+                            slope=self.negative_slope, drop_rate=drop,
+                            drop_rng=rng)     # [N, H, D]
         if self.activation is not None:
             out = self.activation(out)
         return out

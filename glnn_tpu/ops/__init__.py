@@ -93,18 +93,53 @@ def u_add_v(g, a_u, a_v):
     return _ref.u_add_v(g, a_u, a_v)
 
 
+def _use_smx(g) -> bool:
+    return (getattr(g, "smx", None) is not None and _BACKEND != "xla"
+            and (_BACKEND in ("pallas", "pallas_int8")
+                 or jax.default_backend() == "tpu"))
+
+
 def edge_softmax(g, scores):
     if _is_halo(g):
         from glnn_tpu.distributed.halo import halo_edge_softmax
 
         return halo_edge_softmax(g, scores)
-    if (getattr(g, "smx", None) is not None and _BACKEND != "xla"
-            and (_BACKEND in ("pallas", "pallas_int8")
-                 or jax.default_backend() == "tpu")):
-        from glnn_tpu.ops import softmax_pallas
+    if _use_smx(g):
+        from glnn_tpu.ops import gat_pallas
 
-        return softmax_pallas.edge_softmax(g, scores)
+        return gat_pallas.edge_softmax(g, scores)
     return _ref.edge_softmax(g, scores)
+
+
+def gat_attention(g, feat, attn_l, attn_r, *, slope=0.2, drop_rate=0.0,
+                  drop_rng=None):
+    """The whole GAT attention layer (scores -> leaky_relu ->
+    edge_softmax -> attn dropout -> weighted aggregate) as ONE op so
+    the Pallas tier can run it fused in slot space (ops/gat_pallas.py)
+    — on graphs without an attention plan it composes the dispatched
+    per-op tiers with identical semantics. feat [N, H, D] (= Wh);
+    attn_l / attn_r [H, D]; returns [N, H, D]. Matches dgl GATConv's
+    attention block (/root/reference/models.py:227-266)."""
+    import jax.numpy as jnp
+
+    if not _is_halo(g) and _use_smx(g) and feat.ndim == 3:
+        from glnn_tpu.ops import gat_pallas
+
+        return gat_pallas.gat_attention(
+            g, feat, attn_l, attn_r, slope=slope, drop_rate=drop_rate,
+            drop_rng=drop_rng)
+    el = jnp.sum(feat * attn_l[None], axis=-1)         # [N, H]
+    er = jnp.sum(feat * attn_r[None], axis=-1)
+    e = u_add_v(g, el, er)                             # [E_pad, H]
+    e = jnp.where(e >= 0, e, slope * e)
+    alpha = edge_softmax(g, e)
+    if drop_rate > 0.0:
+        if drop_rng is None:
+            raise ValueError("gat_attention: drop_rate>0 needs drop_rng")
+        keep = 1.0 - drop_rate
+        mask = jax.random.bernoulli(drop_rng, keep, alpha.shape)
+        alpha = alpha * mask.astype(alpha.dtype) / keep
+    return u_mul_e_sum(g, feat, alpha)
 
 
 def u_mul_e_sum(g, x, e):
@@ -139,6 +174,6 @@ def gcn_norm_both(g, x, edge_weight=None):
 
 __all__ = [
     "copy_u_sum", "copy_u_mean", "u_mul_e_sum", "u_add_v",
-    "edge_softmax", "gcn_norm_both", "gather_src",
+    "edge_softmax", "gat_attention", "gcn_norm_both", "gather_src",
     "set_backend", "get_backend",
 ]

@@ -67,7 +67,21 @@ def main():
             best = min(best, (tk - t1) / (kk - 1))
         return max(best, 1e-9)
 
+    al_p = jax.random.normal(k, (H, D), jnp.float32) * 0.3
+    ar_p = jax.random.normal(jax.random.PRNGKey(5), (H, D)) * 0.3
+
+    def fused_fwd(c, xx):
+        return ops.gat_attention(g, xx + c, al_p, ar_p).sum(
+            dtype=jnp.float32)
+
+    def fused_step(c, xx):
+        return jax.grad(lambda f: ops.gat_attention(g, f, al_p, ar_p)
+                        .sum(dtype=jnp.float32))(xx + c).sum(
+            dtype=jnp.float32)
+
     probes = [
+        ("fused attention fwd", fused_fwd, (x3,)),
+        ("fused attention fwd+bwd", fused_step, (x3,)),
         ("u_add_v [E,8]", lambda c, a, b: ops.u_add_v(
             g, a + c, b).sum(dtype=jnp.float32), (el, er)),
         ("edge_softmax [E,8]", lambda c, s: ops.edge_softmax(
