@@ -53,6 +53,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "error; backward stays exact bf16) — "
                              "suited to eval/inference sweeps, not "
                              "default training")
+    parser.add_argument("--exact_eval", action="store_true",
+                        help="Force the exact bf16 tier for eval/"
+                             "inference forwards. By default (auto "
+                             "backend) no-grad eval aggregations use "
+                             "the int8 gather tier (~1.2x faster, ~1%% "
+                             "feature error swamped by the argmax)")
     parser.add_argument("--compile_cache", type=str,
                         default=os.environ.get("GLNN_COMPILE_CACHE",
                                                "~/.cache/glnn_tpu_xla"),

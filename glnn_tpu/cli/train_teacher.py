@@ -91,6 +91,9 @@ def run(args):
     if getattr(args, "ops_backend", "auto") != "auto":
         from glnn_tpu import ops
         ops.set_backend(args.ops_backend)
+    if getattr(args, "exact_eval", False):
+        from glnn_tpu import ops
+        ops.set_eval_quant(False)
     setup_compile_cache(args)
 
     apply_output_path_reroutes(args)

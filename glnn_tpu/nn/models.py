@@ -310,5 +310,10 @@ class Model:
         """Eval-mode full-graph forward. The reference's SAGE layer-wise
         minibatched inference (models.py:121-148) exists to bound GPU
         memory; on TPU the full-neighbor computation is exactly the
-        full-graph forward, which we run directly (same output)."""
-        return self.forward(variables, g, feats, training=False)
+        full-graph forward, which we run directly (same output). The
+        trace is marked ops.inference_mode() so the auto backend may
+        pick the int8 eval gather tier (see ops.set_eval_quant)."""
+        from glnn_tpu import ops
+
+        with ops.inference_mode():
+            return self.forward(variables, g, feats, training=False)

@@ -92,14 +92,22 @@ def make_gnn_train_step(model, optimizer, lamb: float = 1.0):
 
 
 def make_eval_fn(model):
-    """All-node log-probs in eval mode (no dropout, running stats)."""
+    """All-node log-probs in eval mode (no dropout, running stats).
+
+    The trace is marked `ops.inference_mode()`: no gradient flows, so
+    under the auto backend the unweighted aggregations pick the int8
+    gather tier (0.81 of measured gather SOL vs 0.69 bf16, ~1% feature
+    error swamped by the argmax) — `--exact_eval` /
+    ops.set_eval_quant(False) restores the exact tier."""
+    from glnn_tpu import ops
 
     @jax.jit
     def evaluate(params, batch_stats, g, feats):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        h = model.apply(variables, g, feats, training=False)[1]
+        with ops.inference_mode():
+            h = model.apply(variables, g, feats, training=False)[1]
         return log_softmax(h)
 
     return evaluate

@@ -135,3 +135,76 @@ def test_chunked_gradient_matches():
         lambda z: refops.copy_u_sum_chunked(g, z, budget_bytes=2048).sum()
     )(x)
     np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)
+
+
+def test_inference_mode_selects_int8_tier(monkeypatch):
+    """VERDICT r3 task 4a: eval/inference traces (marked by
+    ops.inference_mode) pick the int8 gather tier under the auto
+    backend; set_eval_quant(False) and explicit backends opt out."""
+    from glnn_tpu import ops as gops
+
+    assert gops.get_backend() == "auto"
+    assert gops._unweighted_tier() == "bf16"          # training path
+    with gops.inference_mode():
+        assert gops._unweighted_tier() == "int8"      # eval path
+        with gops.inference_mode():
+            assert gops._unweighted_tier() == "int8"  # re-entrant
+        assert gops._unweighted_tier() == "int8"
+    assert gops._unweighted_tier() == "bf16"
+
+    gops.set_eval_quant(False)                        # --exact_eval
+    try:
+        with gops.inference_mode():
+            assert gops._unweighted_tier() == "bf16"
+    finally:
+        gops.set_eval_quant(True)
+
+    gops.set_backend("pallas")                        # explicit tier wins
+    try:
+        with gops.inference_mode():
+            assert gops._unweighted_tier() == "bf16"
+        gops.set_backend("pallas_int8")
+        assert gops._unweighted_tier() == "int8"      # even in training
+    finally:
+        gops.set_backend("auto")
+
+    # dispatch: copy_u_sum routes to the int8 op inside inference_mode
+    from glnn_tpu.ops import spmm_pallas
+
+    src, dst, n = _rand_graph(n=64, e=400, seed=21)
+    g = build_graph(src, dst, n).with_plans(softmax=False)
+    x = jnp.asarray(np.random.RandomState(2).randn(n, 8).astype(np.float32))
+    hits = []
+    orig = spmm_pallas.copy_u_sum_int8
+    monkeypatch.setattr(spmm_pallas, "copy_u_sum_int8",
+                        lambda *a: hits.append(1) or orig(*a))
+    monkeypatch.setattr(gops, "_use_pallas", lambda g_, x_: True)
+    from glnn_tpu import ops as o2
+    with o2.inference_mode():
+        got = np.asarray(o2.copy_u_sum(g, x))
+    assert hits
+    want = np.asarray(refops.copy_u_sum(g, x))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    assert err < 0.05
+
+
+def test_eval_fn_marks_inference_mode(monkeypatch):
+    """make_eval_fn's trace must run inside ops.inference_mode (the
+    int8 eval tier depends on the marker being present at trace time)."""
+    from glnn_tpu import ops as gops
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train.engine import make_eval_fn
+
+    src, dst, n = _rand_graph(n=48, e=300, seed=22)
+    g = build_graph(src, dst, n)
+    x = jnp.asarray(np.random.RandomState(3).randn(n, 8).astype(np.float32))
+    model = Model(dict(model_name="GCN", num_layers=2, hidden_dim=16,
+                       label_dim=4, dropout_ratio=0.0, norm_type="none"))
+    variables = model.init(__import__("jax").random.PRNGKey(0), g, x)
+    seen = []
+    orig = gops.copy_u_sum
+    monkeypatch.setattr(gops, "copy_u_sum",
+                        lambda *a: seen.append(gops._IN_EVAL) or orig(*a))
+    fn = make_eval_fn(model)
+    fn(variables["params"], variables.get("batch_stats", {}), g, x)
+    assert seen and all(seen)

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Decompose the products-scale chunked SpMM (r3: 68.8M edges/s vs
+155M at arxiv scale — find the 2.3x).
+
+Stages timed on the real chip, products-scale synthetic graph
+(N=2.45M, E=62M, F=100, 16 chunk plans):
+  1. bare gather of ONE chunk's slots from the bf16 feature table
+     (row-rate SOL at a 2.45M-row table — the arxiv 250M rows/s was
+     measured on a 169K-row table)
+  2. reduce-only of one chunk (kernel fed a precomputed message buffer)
+  3. one full chunk (gather + reduce)
+  4. the full 16-chunk copy_u_sum (the r3 headline path)
+  5. full copy_u_sum with F pre-padded to 128 on the host side
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+N = 2_449_029
+E = 61_859_140
+F = 100
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from glnn_tpu import ops
+    from glnn_tpu.graph.container import build_graph
+    from glnn_tpu.ops import spmm_pallas as sp
+    from glnn_tpu.utils.packing import ship_packed
+
+    t_start = time.monotonic()
+
+    def log(msg):
+        print(f"[{time.monotonic()-t_start:6.1f}s] {msg}", flush=True)
+
+    rs = np.random.RandomState(0)
+    src = rs.randint(0, N, E).astype(np.int64)
+    dst = rs.randint(0, N, E).astype(np.int64)
+    g = build_graph(src, dst, N, device=False).with_plans(
+        softmax=False, device=False)
+    del src, dst
+    g = ship_packed(g)
+    log("graph+plans shipped")
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, F), jnp.float32)
+    _ = float(x[0, 0])
+    log("features generated")
+
+    def timed(fn, *args, iters=3):
+        float(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(fn(*args))
+        return (time.perf_counter() - t0) / iters
+
+    def chain(body, args, kk=4, iters=2):
+        def build(n):
+            @jax.jit
+            def f(s, *a):
+                def stp(c, _):
+                    return body(c, *a) * 1e-6, None
+                c, _ = jax.lax.scan(stp, s, None, length=n)
+                return c
+            return f
+        z = jnp.float32(0.0)
+        t1 = timed(build(1), z, *args, iters=iters)
+        tk = timed(build(kk), z, *args, iters=iters)
+        return max((tk - t1) / (kk - 1), 1e-9)
+
+    pf = g.plans[0]
+    chunks = pf if isinstance(pf, tuple) else (pf,)
+    log(f"fwd chunks: {len(chunks)}; slots "
+        f"{sum(p.num_tiles*p.tile for p in chunks)}; "
+        f"block_mode {chunks[0].tiles_per_block is not None}")
+    p0 = chunks[len(chunks) // 2]
+    s0 = p0.num_tiles * p0.tile
+
+    # 1) bare gather of one chunk's slots (scalar-coupled)
+    def bare(c, xx):
+        xb = xx.astype(jnp.bfloat16)
+        m = jnp.take(sp._ghost_extend(xb), p0.src_idx, axis=0)
+        return c + m.sum(dtype=jnp.float32) * 1e-12
+    t = chain(bare, (x,))
+    log(f"bare gather 1 chunk ({s0} slots): {t*1e3:8.2f} ms "
+        f"-> {s0/t/1e6:.1f}M rows/s")
+
+    # 2) reduce-only of one chunk from a resident message buffer
+    msgs = jax.random.normal(jax.random.PRNGKey(1), (s0, F),
+                             jnp.float32).astype(jnp.bfloat16)
+    _ = float(msgs[0, 0].astype(jnp.float32))
+    def red(c, mm):
+        return c + sp.segment_reduce(p0, mm).sum(dtype=jnp.float32) * 1e-9
+    t = chain(red, (msgs,))
+    log(f"reduce-only 1 chunk: {t*1e3:8.2f} ms")
+
+    # 3) one full chunk
+    def one(c, xx):
+        m = sp._gather_messages(p0, xx)
+        return c + sp.segment_reduce(p0, m).sum(dtype=jnp.float32) * 1e-9
+    t1c = chain(one, (x,))
+    log(f"gather+reduce 1 chunk: {t1c*1e3:8.2f} ms "
+        f"(x{len(chunks)} = {t1c*len(chunks)*1e3:.0f} ms)")
+
+    # 4) full 16-chunk copy_u_sum (r3 headline path)
+    def full(c, xx):
+        return c + ops.copy_u_sum(g, xx).sum(dtype=jnp.float32) * 1e-9
+    tf = chain(full, (x,), kk=3)
+    log(f"full copy_u_sum: {tf*1e3:8.2f} ms -> {E/tf/1e6:.1f}M edges/s")
+
+    # 5) bf16 table resident (cast hoisted): is the per-chunk f32->bf16
+    # cast being recomputed?
+    xb16 = x.astype(jnp.bfloat16)
+    _ = float(xb16[0, 0].astype(jnp.float32))
+    def full16(c, xx):
+        return c + ops.copy_u_sum(g, xx).sum(dtype=jnp.float32) * 1e-9
+    t16 = chain(full16, (xb16,), kk=3)
+    log(f"full copy_u_sum (bf16 input): {t16*1e3:8.2f} ms "
+        f"-> {E/t16/1e6:.1f}M edges/s")
+
+
+if __name__ == "__main__":
+    main()
