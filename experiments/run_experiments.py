@@ -27,6 +27,7 @@ SYNTH = ["synth-n2048-c7-f128-d10-noise3.0"]
 
 
 _EXTRA_FLAGS: dict = {}
+DRY_RUN = False
 
 
 def _run(cli: str, out_file: str | None, label: str | None, **flags) -> None:
@@ -35,6 +36,8 @@ def _run(cli: str, out_file: str | None, label: str | None, **flags) -> None:
     for k, v in flags.items():
         cmd += [f"--{k}", str(v)]
     print("+", " ".join(cmd), flush=True)
+    if DRY_RUN:
+        return
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:
         print(res.stderr, file=sys.stderr)
@@ -168,9 +171,19 @@ def main():
     p.add_argument("--datasets", nargs="*", default=CPF)
     p.add_argument("--device", type=int, default=None,
                    help="forwarded to the CLIs (-1 forces CPU)")
+    p.add_argument("--dry_run", action="store_true",
+                   help="print every CLI invocation without executing "
+                        "(used by experiments/reproduce_all.sh's "
+                        "preflight)")
+    p.add_argument("--data_path", type=str, default=None,
+                   help="forwarded to the CLIs")
     args = p.parse_args()
+    global DRY_RUN
+    DRY_RUN = args.dry_run
     if args.device is not None:
         _EXTRA_FLAGS["device"] = args.device
+    if args.data_path is not None:
+        _EXTRA_FLAGS["data_path"] = args.data_path
     EXPERIMENTS[args.experiment](args.datasets)
 
 
