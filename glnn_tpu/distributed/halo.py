@@ -37,7 +37,8 @@ from jax import shard_map
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["local_src", "local_dst", "halo_gather", "halo_dst",
-                 "send_idx", "in_degrees", "out_degrees", "plans"],
+                 "send_idx", "in_degrees", "out_degrees", "plans",
+                 "att"],
     meta_fields=["n_nodes", "n_shards", "rows_per_shard", "e_local",
                  "e_halo", "halo_rows", "axis", "mesh"],
 )
@@ -69,6 +70,11 @@ class HaloGraph:
     # (build_halo_graph(build_plans=True)); None -> XLA segment sums.
     # Also duck-types the single-device Graph surface the layers touch.
     plans: tuple | None
+    # optional stacked per-shard AttentionPlan over each shard's
+    # COMBINED (local + halo) dst-sorted edges, sources indexing
+    # [local rows; recv buffer] — drives the fused slot-space GAT
+    # attention per shard (build_halo_graph(attention_plans=True))
+    att: object | None
     n_nodes: int
     n_shards: int
     rows_per_shard: int
@@ -93,7 +99,8 @@ class HaloGraph:
 def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
                      mesh: Mesh, axis: str = "graph",
                      build_plans: bool = False, plan_tile: int = 512,
-                     plan_block_rows: int = 512) -> HaloGraph:
+                     plan_block_rows: int = 512,
+                     attention_plans: bool = False) -> HaloGraph:
     """Fully vectorized index-set construction (no O(P^2) Python
     loops / per-pair np.unique — one lexicographic unique over the
     halo edges does all the send-set bookkeeping; ~seconds at
@@ -188,8 +195,15 @@ def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
         plans = (stack_plans(lf, n_src=rows), stack_plans(lb, n_src=rows),
                  stack_plans(hf, n_src=ph), stack_plans(hb, n_src=rows))
 
+    att = None
+    if attention_plans:
+        att = _build_attention_plans(
+            local_src, local_dst, loc_counts, halo_gather, halo_dst,
+            halo_counts, rows, n_shards * h_max)
+
     return HaloGraph(
         plans=plans,
+        att=att,
         local_src=jnp.asarray(local_src),
         local_dst=jnp.asarray(local_dst),
         halo_gather=jnp.asarray(halo_gather),
@@ -402,3 +416,128 @@ def halo_u_mul_e_sum(hg: HaloGraph, x: jax.Array, e: jax.Array) -> jax.Array:
         out_specs=P(hg.axis),
     )(msgs.reshape((hg.n_shards, et) + msgs.shape[1:]), _edge_dst(hg))
     return out.reshape((hg.n_pad,) + msgs.shape[1:])
+
+
+# --------------------------------------------------------------------
+# fused per-shard GAT attention (VERDICT r3 task 7): the attention ops
+# above compose correctly but run XLA segment ops inside shard_map; a
+# sharded GAT teacher lost the round-4 fused-kernel win. Every dst's
+# in-edges live on its owner shard, so each shard can run the WHOLE
+# fused slot-space attention layer (ops/gat_pallas.py) locally over
+# its combined (local + halo) edge list, with sources indexing
+# [local rows; recv buffer].
+# --------------------------------------------------------------------
+
+
+def _build_attention_plans(local_src, local_dst, loc_counts, halo_gather,
+                           halo_dst, halo_counts, rows, ph):
+    """Per-shard AttentionPlans over combined dst-sorted edges, stacked
+    on a leading shard axis; None when any shard declines (mega-hub
+    skew past the kernel's X cap, or an empty shard)."""
+    from glnn_tpu.ops.attention_plan import (X_MAX, build_attention_plan,
+                                             stack_attention_plans)
+
+    n_shards = local_src.shape[0]
+    block_rows = 128
+    nb = -(-rows // block_rows)
+    combos = []
+    x_need = 128
+    for p in range(n_shards):
+        lc, hc = int(loc_counts[p]), int(halo_counts[p])
+        dst_c = np.concatenate([local_dst[p][:lc], halo_dst[p][:hc]]
+                               ).astype(np.int64)
+        src_c = np.concatenate([local_src[p][:lc],
+                                rows + halo_gather[p][:hc]]
+                               ).astype(np.int64)
+        if dst_c.shape[0] == 0:
+            return None
+        order = np.argsort(dst_c, kind="stable")
+        dst_c, src_c = dst_c[order], src_c[order]
+        combos.append((dst_c, src_c))
+        cnt = np.bincount(dst_c // block_rows, minlength=nb)
+        x_need = max(x_need,
+                     -(-int(cnt.max()) // 128) * 128)
+    if x_need > X_MAX:
+        return None
+    plans = []
+    for dst_c, src_c in combos:
+        p = build_attention_plan(dst_c, src_c, rows,
+                                 block_rows=block_rows,
+                                 n_src=rows + ph, x_slots=x_need,
+                                 bwd_block_mode=False, device=False)
+        if p is None:
+            return None
+        plans.append(p)
+    return stack_attention_plans(plans)
+
+
+def halo_gat_attention(hg: HaloGraph, feat: jax.Array,
+                       attn_l: jax.Array, attn_r: jax.Array,
+                       slope: float = 0.2, drop_rate: float = 0.0,
+                       drop_rng=None, fused: bool | None = None
+                       ) -> jax.Array:
+    """Whole GAT attention layer on a sharded graph. feat [n_pad, H, D]
+    row-sharded; returns the same shape/sharding. With per-shard
+    attention plans (and the Pallas tier selected), each shard runs the
+    fused slot-space kernel over [its rows; its recv buffer]; otherwise
+    the per-op halo tier composes the identical math."""
+    h = feat.shape[1]
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    if hg.att is None or not fused:
+        el = jnp.sum(feat * attn_l[None], axis=-1)
+        er = jnp.sum(feat * attn_r[None], axis=-1)
+        e = halo_u_add_v(hg, el, er)
+        e = jnp.where(e >= 0, e, slope * e)
+        alpha = halo_edge_softmax(hg, e)
+        if drop_rate > 0.0:
+            if drop_rng is None:
+                raise ValueError("attention dropout needs drop_rng")
+            keep = 1.0 - drop_rate
+            m = jax.random.bernoulli(drop_rng, keep, alpha.shape)
+            alpha = alpha * m.astype(alpha.dtype) / keep
+        return halo_u_mul_e_sum(hg, feat, alpha)
+
+    from glnn_tpu.ops.attention_plan import shard_slice_attention_plan
+    from glnn_tpu.ops.gat_pallas import _fused_gat
+
+    plan = hg.att
+    rows = hg.rows_per_shard
+    n_sh = hg.n_shards
+    ph = n_sh * hg.halo_rows
+    mask = None
+    if drop_rate > 0.0:
+        if drop_rng is None:
+            raise ValueError("attention dropout needs drop_rng")
+        keep = 1.0 - drop_rate
+        mask = jax.random.bernoulli(
+            drop_rng, keep, (n_sh * plan.slots, h)
+        ).astype(jnp.float32) / keep
+
+    def f(x_blk, sidx, plan_blk, mask_blk, a_l, a_r):
+        x_loc = x_blk[0]                           # [rows, H, D]
+        hd = x_loc.shape[1] * x_loc.shape[2]
+        x2 = x_loc.reshape(rows, hd)
+        x_ext = jnp.concatenate([x2, jnp.zeros((1, hd), x2.dtype)])
+        sbuf = jnp.take(x_ext, sidx[0].reshape(-1), axis=0).reshape(
+            n_sh, hg.halo_rows, hd)
+        recv = jax.lax.all_to_all(sbuf, hg.axis, split_axis=0,
+                                  concat_axis=0, tiled=True)
+        src = jnp.concatenate([x2, recv.reshape(ph, hd)], axis=0
+                              ).reshape(rows + ph, *x_loc.shape[1:])
+        pl_s = shard_slice_attention_plan(plan_blk)
+        m = None if mask_blk is None else mask_blk[0]
+        out = _fused_gat(float(slope), pl_s, src, x_loc, a_l, a_r, m)
+        return out[None]
+
+    mask_spec = None if mask is None else P(hg.axis)
+    out = shard_map(
+        f, mesh=hg.mesh,
+        in_specs=(P(hg.axis), P(hg.axis), P(hg.axis), mask_spec,
+                  P(), P()),
+        out_specs=P(hg.axis),
+        check_vma=False,      # pallas_call inside can't annotate vma
+    )(feat.reshape((n_sh, rows) + feat.shape[1:]), hg.send_idx, plan,
+      None if mask is None else mask.reshape(n_sh, plan.slots, h),
+      attn_l, attn_r)
+    return out.reshape((hg.n_pad,) + feat.shape[1:])

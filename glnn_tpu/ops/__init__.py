@@ -168,7 +168,16 @@ def gat_attention(g, feat, attn_l, attn_r, *, slope=0.2, drop_rate=0.0,
     attention block (/root/reference/models.py:227-266)."""
     import jax.numpy as jnp
 
-    if not _is_halo(g) and _use_smx(g) and feat.ndim == 3:
+    if _is_halo(g):
+        from glnn_tpu.distributed.halo import halo_gat_attention
+
+        fused = (_BACKEND != "xla"
+                 and (_BACKEND in ("pallas", "pallas_int8")
+                      or jax.default_backend() == "tpu"))
+        return halo_gat_attention(
+            g, feat, attn_l, attn_r, slope=slope, drop_rate=drop_rate,
+            drop_rng=drop_rng, fused=fused)
+    if _use_smx(g) and feat.ndim == 3:
         from glnn_tpu.ops import gat_pallas
 
         return gat_pallas.gat_attention(

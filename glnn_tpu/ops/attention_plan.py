@@ -102,14 +102,23 @@ PAD_LIMIT = 1.6
 
 def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
                          n_nodes: int, block_rows: int = 128,
-                         x_max: int = X_MAX,
+                         x_max: int = X_MAX, n_src: int | None = None,
+                         x_slots: int | None = None,
+                         bwd_block_mode: bool = True,
                          device: bool = True) -> AttentionPlan | None:
     """Plan dst-sorted (receivers, senders) for the fused attention
     kernels. Returns None when a dst block's in-edge count exceeds
     ``x_max`` (mega-hub skew) or the uniform-X padding is wasteful at
-    scale — callers fall back to the XLA tier."""
+    scale — callers fall back to the XLA tier.
+
+    `n_src` (default n_nodes) sets the source row space (rectangular
+    use: the halo tier's sources are [local rows; recv buffer]).
+    `x_slots` forces the per-block slot count (stacked per-shard plans
+    need a uniform X across shards)."""
     rec = np.asarray(receivers, np.int64)
     snd = np.asarray(senders, np.int64)
+    if n_src is None:
+        n_src = n_nodes
     n_edges = int(rec.shape[0])
     if n_edges == 0:
         return None
@@ -122,6 +131,10 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
     ends = np.searchsorted(blk, np.arange(num_blocks), "right")
     counts = ends - starts
     x = max(128, -(-int(counts.max()) // 128) * 128)
+    if x_slots is not None:
+        if x_slots < x:
+            raise ValueError(f"x_slots={x_slots} < required {x}")
+        x = x_slots
     if x > x_max:
         return None
     slots = num_blocks * x
@@ -133,7 +146,7 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
     valid = edge_idx < ends[:, None]
     eix = np.minimum(edge_idx, n_edges - 1)
 
-    src_idx = np.where(valid, snd[eix], n_nodes).astype(np.int32)
+    src_idx = np.where(valid, snd[eix], n_src).astype(np.int32)
     slot_edge = np.where(valid, eix, n_edges).astype(np.int32)
     rec_local = np.where(
         valid, rec[eix] - np.arange(num_blocks)[:, None] * block_rows,
@@ -143,14 +156,17 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
     edge_slot = (blk * x + np.arange(n_edges)
                  - starts[blk]).astype(np.int32)
 
-    # backward reduce-over-source plan: receivers-role = source node,
+    # backward reduce-over-source plan: receivers-role = source row,
     # gather-role = the edge's forward slot in the message buffer.
     order = np.argsort(snd, kind="stable")
-    bwd = build_block_plan(snd[order], edge_slot[order].astype(np.int64),
-                           n_nodes, n_src=slots, device=False)
+    bwd = None
+    if bwd_block_mode:        # stacked per-shard plans need uniform
+        bwd = build_block_plan(   # geometry -> force the tiled builder
+            snd[order], edge_slot[order].astype(np.int64), n_src,
+            n_src=slots, device=False)
     if bwd is None:       # out-degree skew: tiled fallback, never None
         bwd = build_spmm_plan(snd[order], edge_slot[order].astype(np.int64),
-                              n_nodes, n_src=slots, device=False)
+                              n_src, n_src=slots, device=False)
 
     arr = jnp.asarray if device else np.ascontiguousarray
     return AttentionPlan(
@@ -166,3 +182,70 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
         e_orig=n_edges,
         n_nodes=int(n_nodes),
     )
+
+
+# --------------------------------------------------------------------
+# per-shard stacking (halo tier): data fields gain a leading [P] axis
+# so shard_map can hand each shard its own plan slice
+# --------------------------------------------------------------------
+
+
+def stack_attention_plans(plans: list) -> AttentionPlan:
+    """Stack per-shard AttentionPlans built with identical geometry
+    (same block_rows, num_blocks, x — use build_attention_plan's
+    x_slots to force a common X) on a leading shard axis. Per-shard
+    edge counts differ: edge_slot pads to the max with the ghost slot
+    id; the bwd plans must share tiled geometry (build with
+    bwd_block_mode=False) and get tile-padded to the max."""
+    from glnn_tpu.ops.spmm_plan import pad_plan_tiles
+
+    p0 = plans[0]
+    assert all((p.x, p.block_rows, p.num_blocks, p.bwd.tile,
+                p.bwd.block_rows, p.bwd.num_blocks,
+                p.bwd.tiles_per_block)
+               == (p0.x, p0.block_rows, p0.num_blocks, p0.bwd.tile,
+                   p0.bwd.block_rows, p0.bwd.num_blocks,
+                   p0.bwd.tiles_per_block) for p in plans)
+    e_max = max(p.e_orig for p in plans)
+    slots = p0.slots
+
+    def pad_edge_slot(p):
+        es = np.asarray(p.edge_slot)
+        return np.pad(es, (0, e_max - es.shape[0]),
+                      constant_values=slots)
+
+    nt = max(p.bwd.num_tiles for p in plans)
+    bwds = [pad_plan_tiles(plan_to_device(p.bwd), nt, n_src=slots)
+            for p in plans]
+    bwd = SpmmPlan(
+        src_idx=jnp.stack([b.src_idx for b in bwds]),
+        edge_perm=jnp.stack([b.edge_perm for b in bwds]),
+        rec_local=jnp.stack([b.rec_local for b in bwds]),
+        block_id=jnp.stack([b.block_id for b in bwds]),
+        tile=p0.bwd.tile, block_rows=p0.bwd.block_rows,
+        num_blocks=p0.bwd.num_blocks, num_tiles=nt,
+        e_orig=max(b.e_orig for b in bwds),
+        tiles_per_block=p0.bwd.tiles_per_block,
+    )
+    return AttentionPlan(
+        src_idx=jnp.stack([jnp.asarray(p.src_idx) for p in plans]),
+        slot_edge=jnp.stack([jnp.asarray(p.slot_edge) for p in plans]),
+        edge_slot=jnp.stack([jnp.asarray(pad_edge_slot(p))
+                             for p in plans]),
+        rec_lane=jnp.stack([jnp.asarray(p.rec_lane) for p in plans]),
+        rec_sub=jnp.stack([jnp.asarray(p.rec_sub) for p in plans]),
+        bwd=bwd,
+        x=p0.x, block_rows=p0.block_rows, num_blocks=p0.num_blocks,
+        e_orig=e_max, n_nodes=p0.n_nodes,
+    )
+
+
+def shard_slice_attention_plan(plan: AttentionPlan) -> AttentionPlan:
+    """Inside shard_map: drop the [1, ...] leading axis a P(axis)
+    in_spec leaves on each data field."""
+    from glnn_tpu.ops.spmm_plan import shard_slice_plan
+
+    return dataclasses.replace(
+        plan, src_idx=plan.src_idx[0], slot_edge=plan.slot_edge[0],
+        edge_slot=plan.edge_slot[0], rec_lane=plan.rec_lane[0],
+        rec_sub=plan.rec_sub[0], bwd=shard_slice_plan(plan.bwd))

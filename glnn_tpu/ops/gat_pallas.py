@@ -67,6 +67,13 @@ def _interp(interpret):
     return interpret
 
 
+# the backward kernel's working set ([X, HDp] f32 features + ~10
+# [X, 128] f32 intermediates) overflows the default 16MB scoped-vmem
+# limit by ~100KB at X=2048, HDp=128 (measured: BENCH r4 first run);
+# v5e has far more VMEM — raise the per-kernel cap
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pad128(n: int) -> int:
     return max(128, -(-n // 128) * 128)
 
@@ -253,6 +260,7 @@ def _fwd_call(plan, feat_slots, er_pad, al, rrep, mask, slope,
         out_specs=pl.BlockSpec((d, hdp), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * d, hdp), jnp.float32),
+        compiler_params=_VMEM_LIMIT,
         interpret=_interp(interpret),
     )(*args)
 
@@ -297,6 +305,7 @@ def _bwd_call(plan, feat_slots, er_pad, al, rrep, mask, dout_pad, slope,
             jax.ShapeDtypeStruct((nb * x, hdp), jnp.bfloat16),
             jax.ShapeDtypeStruct((128, hdp), jnp.float32),
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=_interp(interpret),
     )(*args)
 
@@ -313,11 +322,11 @@ def _gather_feat(plan: AttentionPlan, feat: jax.Array, hdp: int,
     return jnp.take(f2, plan.src_idx, axis=0)          # [slots, HDp]
 
 
-def _prep(plan, feat, attn_l, attn_r, hdp):
-    n, h, dd = feat.shape
+def _prep(plan, feat_dst, attn_l, attn_r, hdp):
+    n, h, dd = feat_dst.shape
     nb, d = plan.num_blocks, plan.block_rows
-    er = jnp.sum(feat.astype(jnp.float32) * attn_r[None].astype(jnp.float32),
-                 axis=-1)                              # [N, H] f32
+    er = jnp.sum(feat_dst.astype(jnp.float32)
+                 * attn_r[None].astype(jnp.float32), axis=-1)  # [Nd, H]
     er_pad = jnp.pad(er, ((0, nb * d - n), (0, 128 - h)))
     al = _block_diag_al(attn_l, hdp)
     rrep = _replication(h, dd, hdp)
@@ -325,29 +334,37 @@ def _prep(plan, feat, attn_l, attn_r, hdp):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_gat(slope, plan, feat, attn_l, attn_r, mask):
-    n, h, dd = feat.shape
+def _fused_gat(slope, plan, feat_src, feat_dst, attn_l, attn_r, mask):
+    """Rectangular fused attention core: sources (el + messages) come
+    from `feat_src` [Ns, H, D] (the plan's src_idx space — ghost row
+    Ns), destinations (er + output rows) from `feat_dst` [Nd, H, D].
+    The single-graph layer passes the same array twice (JAX sums the
+    two cotangents); the halo tier passes [local; recv] as sources and
+    the local block as destinations."""
+    n, h, dd = feat_dst.shape
     hdp = _pad128(h * dd)
-    er_pad, al, rrep = _prep(plan, feat, attn_l, attn_r, hdp)
-    feat_slots = _gather_feat(plan, feat, hdp)
+    er_pad, al, rrep = _prep(plan, feat_dst, attn_l, attn_r, hdp)
+    feat_slots = _gather_feat(plan, feat_src, hdp)
     out = _fwd_call(plan, feat_slots, er_pad, al, rrep, mask, slope,
                     None, hdp)
-    return out[:n, :h * dd].reshape(n, h, dd).astype(feat.dtype)
+    return out[:n, :h * dd].reshape(n, h, dd).astype(feat_dst.dtype)
 
 
-def _fused_fwd(slope, plan, feat, attn_l, attn_r, mask):
-    out = _fused_gat(slope, plan, feat, attn_l, attn_r, mask)
-    return out, (plan, feat, attn_l, attn_r, mask)
+def _fused_fwd(slope, plan, feat_src, feat_dst, attn_l, attn_r, mask):
+    out = _fused_gat(slope, plan, feat_src, feat_dst, attn_l, attn_r,
+                     mask)
+    return out, (plan, feat_src, feat_dst, attn_l, attn_r, mask)
 
 
 def _fused_bwd(slope, res, dout):
-    plan, feat, attn_l, attn_r, mask = res
-    n, h, dd = feat.shape
+    plan, feat_src, feat_dst, attn_l, attn_r, mask = res
+    n, h, dd = feat_dst.shape
+    ns = feat_src.shape[0]
     hd = h * dd
     hdp = _pad128(hd)
-    nb, d, x = plan.num_blocks, plan.block_rows, plan.x
-    er_pad, al, rrep = _prep(plan, feat, attn_l, attn_r, hdp)
-    feat_slots = _gather_feat(plan, feat, hdp, jnp.float32)
+    nb, d = plan.num_blocks, plan.block_rows
+    er_pad, al, rrep = _prep(plan, feat_dst, attn_l, attn_r, hdp)
+    feat_slots = _gather_feat(plan, feat_src, hdp, jnp.float32)
     dout_pad = jnp.pad(dout.reshape(n, hd).astype(jnp.float32),
                        ((0, nb * d - n), (0, hdp - hd)))
     der_buf, msg, dal = _bwd_call(plan, feat_slots, er_pad, al, rrep,
@@ -358,14 +375,15 @@ def _fused_bwd(slope, res, dout):
         [msg, jnp.zeros((1, hdp), msg.dtype)], axis=0)
     red = segment_reduce(plan.bwd,
                          jnp.take(msg_ext, plan.bwd.src_idx, axis=0))
-    dfeat = red[:n, :hd].reshape(n, h, dd)
+    dfeat_src = red[:ns, :hd].reshape(ns, h, dd).astype(feat_src.dtype)
     der = der_buf[:n, :h]
-    f32 = feat.astype(jnp.float32)
-    dfeat = dfeat + der[:, :, None] * attn_r[None].astype(jnp.float32)
+    dfeat_dst = (der[:, :, None] * attn_r[None].astype(jnp.float32)
+                 ).astype(feat_dst.dtype)
     dal3 = dal[:h, :hd].reshape(h, h, dd)
     dattn_l = dal3[jnp.arange(h), jnp.arange(h)]
-    dattn_r = jnp.einsum("nh,nhd->hd", der, f32)
-    return (None, dfeat.astype(feat.dtype), dattn_l.astype(attn_l.dtype),
+    dattn_r = jnp.einsum("nh,nhd->hd", der,
+                         feat_dst.astype(jnp.float32))
+    return (None, dfeat_src, dfeat_dst, dattn_l.astype(attn_l.dtype),
             dattn_r.astype(attn_r.dtype), None)
 
 
@@ -393,7 +411,8 @@ def gat_attention(g, feat: jax.Array, attn_l: jax.Array,
         mask = jax.random.bernoulli(
             drop_rng, keep, (plan.slots, feat.shape[1])
         ).astype(jnp.float32) / keep
-    return _fused_gat(float(slope), plan, feat, attn_l, attn_r, mask)
+    return _fused_gat(float(slope), plan, feat, feat, attn_l, attn_r,
+                      mask)
 
 
 # --------------------------------------------------------------------
@@ -448,6 +467,7 @@ def _smx_call(kernel, plan, arrays, hs, interpret):
         out_specs=pl.BlockSpec((x, hs), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * x, hs), jnp.float32),
+        compiler_params=_VMEM_LIMIT,
         interpret=_interp(interpret),
     )(plan.rec_lane, plan.rec_sub, *arrays)
 

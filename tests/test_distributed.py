@@ -423,3 +423,75 @@ def test_fetch_rows_compact_overflow_flag(mesh8):
     dropped = (got == 0).all(-1)
     assert ((served | dropped)).all()
     assert served.any() and dropped.any()
+
+
+def test_fused_halo_gat_attention_matches_single_device(mesh8):
+    """VERDICT r3 task 7: the fused slot-space attention runs per
+    shard over combined (local + halo) edges with sources indexing
+    [local rows; recv buffer] — fwd AND grads must match the
+    single-device oracle compose."""
+    from glnn_tpu.distributed.halo import (build_halo_graph,
+                                           halo_gat_attention)
+    from glnn_tpu.ops import refops
+
+    rs = np.random.RandomState(31)
+    n, e, h, d = 203, 1500, 2, 8
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    g = build_graph(src, dst, n)
+    hg = build_halo_graph(src, dst, n, mesh8, attention_plans=True)
+    assert hg.att is not None
+    feat = jnp.asarray(rs.randn(n, h, d).astype(np.float32))
+    al = jnp.asarray(rs.randn(h, d).astype(np.float32) * 0.3)
+    ar = jnp.asarray(rs.randn(h, d).astype(np.float32) * 0.3)
+
+    def ref(f, a, b):
+        el = jnp.sum(f * a[None], -1)
+        er = jnp.sum(f * b[None], -1)
+        s = refops.u_add_v(g, el, er)
+        s = jnp.where(s >= 0, s, 0.2 * s)
+        alpha = refops.edge_softmax(g, s)
+        return refops.u_mul_e_sum(g, f, alpha)
+
+    pad = hg.n_pad - n
+    feat_p = jnp.pad(feat, ((0, pad), (0, 0), (0, 0)))
+    fused = jax.jit(lambda f, a, b: halo_gat_attention(
+        hg, f, a, b, fused=True))
+    out = np.asarray(fused(feat_p, al, ar))[:n]
+    want = np.asarray(ref(feat, al, ar))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(out, want, rtol=2e-2, atol=scale * 1e-2)
+
+    def loss_f(f, a, b):
+        return jnp.sum(jnp.sin(fused(f, a, b)[:n]))
+
+    def loss_r(f, a, b):
+        return jnp.sum(jnp.sin(ref(f, a, b)))
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(feat_p, al, ar)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(feat, al, ar)
+    for got, want_g in zip((gf[0][:n], gf[1], gf[2]), gr):
+        got, want_g = np.asarray(got), np.asarray(want_g)
+        s = np.abs(want_g).max() + 1e-6
+        assert np.abs(got - want_g).max() / s < 3e-2
+
+
+def test_fused_halo_gat_attention_dropout_deterministic(mesh8):
+    from glnn_tpu.distributed.halo import (build_halo_graph,
+                                           halo_gat_attention)
+
+    rs = np.random.RandomState(33)
+    n, e, h, d = 150, 900, 2, 8
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    hg = build_halo_graph(src, dst, n, mesh8, attention_plans=True)
+    feat = jnp.pad(jnp.asarray(rs.randn(n, h, d).astype(np.float32)),
+                   ((0, hg.n_pad - n), (0, 0), (0, 0)))
+    al = jnp.asarray(rs.randn(h, d).astype(np.float32) * 0.3)
+    ar = jnp.asarray(rs.randn(h, d).astype(np.float32) * 0.3)
+    rng = jax.random.PRNGKey(5)
+    o1 = np.asarray(halo_gat_attention(hg, feat, al, ar, drop_rate=0.4,
+                                       drop_rng=rng, fused=True))
+    o2 = np.asarray(halo_gat_attention(hg, feat, al, ar, drop_rate=0.4,
+                                       drop_rng=rng, fused=True))
+    assert (o1 == o2).all()
+    o3 = np.asarray(halo_gat_attention(hg, feat, al, ar, fused=True))
+    assert np.abs(o1 - o3).max() > 1e-4     # dropout actually applied
