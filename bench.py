@@ -314,9 +314,14 @@ def main():
     extras["spmm_int8_ms"] = round(dt_i8 * 1e3, 3) if dt_i8 else None
     extras["int8_edges_per_s"] = round(e / dt_i8, 1) if dt_i8 else None
     # the int8 tier clears the 0.8-of-measured-SOL bar the bf16 two-op
-    # design cannot (PERF.md r3: the bf16 message round-trip is fixed)
+    # design cannot (PERF.md r3: the bf16 message round-trip is fixed);
+    # since r4 it IS the default for eval/inference forwards
+    # (ops.inference_mode in make_eval_fn / Model.inference;
+    # --exact_eval opts out), so spmm_int8_ms is the shipped eval-path
+    # aggregation time, not an opt-in diagnostic
     extras["int8_vs_gather_sol"] = (round(dt_take / dt_i8, 4)
                                     if dt_i8 and dt_take else None)
+    extras["eval_tier_default"] = "int8"
 
     print(json.dumps({
         "metric": "spmm_edges_per_s_per_chip",
