@@ -208,19 +208,58 @@ def main():
           "seconds": round(time.perf_counter() - t0, 2),
           "note": "one packed upload + on-device generation"})
 
-    # bare chunked-Pallas SpMM at full products scale. The graph is a
-    # jit ARGUMENT: closing over it would embed the ~1GB of plan
-    # arrays as HLO constants (the remote-compile relay rejects the
-    # payload with HTTP 413).
+    # measured gather speed-of-light AT THIS TABLE SIZE: the bare bf16
+    # row gather of every chunk's own slots. The arxiv-scale SOL
+    # (~240M rows/s) was measured on a 169K-row table; the 2.45M-row
+    # products table is the honest denominator here. Plans/graph are
+    # jit ARGUMENTS: closing over them would embed ~1GB of plan arrays
+    # as HLO constants (the remote-compile relay rejects the payload
+    # with HTTP 413).
     from glnn_tpu import ops
+    from glnn_tpu.ops import spmm_pallas as _sp
+    from glnn_tpu.ops.spmm_plan import plan_slots as _slots
+    pf, _pb = g.plans
+    chunks_t = pf if isinstance(pf, tuple) else (pf,)
+    total_slots = int(_slots(pf))
+
+    @jax.jit
+    def _bare(gg, xx):
+        xb = xx.astype(jnp.bfloat16)
+        ext = _sp._ghost_extend(xb)
+        acc = jnp.float32(0)
+        for p in (gg.plans[0] if isinstance(gg.plans[0], tuple)
+                  else (gg.plans[0],)):
+            acc = acc + jnp.take(ext, p.src_idx, axis=0).sum(
+                dtype=jnp.float32) * 1e-12
+        return acc
+
+    gather_s = time_scalar(_bare, g, feats, iters=2, warmup=1)
+    emit({"stage": "bare_gather_all_chunks",
+          "seconds": round(gather_s, 3), "slots": total_slots,
+          "rows_per_s": round(total_slots / gather_s, 1),
+          "note": "measured gather speed-of-light at the 2.45M-row "
+                  "feature table (the SpMM's denominator)"})
+
     spmm_s = time_scalar(
         jax.jit(lambda gg, xx: ops.copy_u_sum(gg, xx)
                 .sum(dtype=jnp.float32)),
         g, feats, iters=2, warmup=1)
     emit({"stage": "pallas_spmm_full_graph", "seconds": round(spmm_s, 3),
           "edges": E, "edges_per_s": round(E / spmm_s, 1),
+          "vs_gather_sol": round(gather_s / spmm_s, 4),
           "backend": "pallas_chunked"
                      if jax.default_backend() == "tpu" else "interpret"})
+
+    # the int8 tier is the r4 DEFAULT for eval/inference forwards
+    # (ops.inference_mode): measure the eval-path aggregation too
+    spmm_i8 = time_scalar(
+        jax.jit(lambda gg, xx: _sp.copy_u_sum_int8(gg, xx)
+                .sum(dtype=jnp.float32)),
+        g, feats, iters=2, warmup=1)
+    emit({"stage": "pallas_spmm_int8_eval_tier",
+          "seconds": round(spmm_i8, 3),
+          "edges_per_s": round(E / spmm_i8, 1),
+          "vs_gather_sol": round(gather_s / spmm_i8, 4)})
 
     model = Model(dict(model_name="SAGE", num_layers=3, hidden_dim=256,
                        label_dim=C, dropout_ratio=0.5, norm_type="batch"))

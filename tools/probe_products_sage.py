@@ -66,42 +66,46 @@ def main():
             float(fn(*args))
         return (time.perf_counter() - t0) / iters
 
-    def chain(body, kk=4, iters=2):
+    def chain(body, args, kk=4, iters=2):
+        # graph/features enter as jit ARGUMENTS — closed-over they
+        # become HLO constants and the remote-compile payload explodes
         def build(n):
             @jax.jit
-            def f(s):
+            def f(s, *a):
                 def stp(c, i):
-                    return body(c, i) * (1.0 - 1e-9), None
+                    return body(c, i, *a) * (1.0 - 1e-9), None
                 c, _ = jax.lax.scan(stp, s, jnp.arange(n))
                 return c
             return f
         z = jnp.float32(0.0)
-        t1 = timed(build(1), z, iters=iters)
-        tk = timed(build(kk), z, iters=iters)
+        t1 = timed(build(1), z, *args, iters=iters)
+        tk = timed(build(kk), z, *args, iters=iters)
         return max((tk - t1) / (kk - 1), 1e-9)
 
     rng = jax.random.PRNGKey(7)
     x16 = x.astype(jnp.bfloat16)
     _ = float(x16[0, 0].astype(jnp.float32))
 
-    def samp(c, i):
-        blocks = sample_blocks(g, seeds, FANOUT, jax.random.fold_in(rng, i))
+    def samp(c, i, gg):
+        blocks = sample_blocks(gg, seeds, FANOUT,
+                               jax.random.fold_in(rng, i))
         return c + blocks.input_nodes.sum(dtype=jnp.float32) * 1e-12
 
-    t = chain(samp)
+    t = chain(samp, (g,))
     log(f"sampler only: {t*1e3:8.2f} ms "
         f"(input slots {4096*16*11*6})")
 
-    def gath(c, i, table):
-        blocks = sample_blocks(g, seeds, FANOUT, jax.random.fold_in(rng, i))
+    def gath(c, i, gg, table):
+        blocks = sample_blocks(gg, seeds, FANOUT,
+                               jax.random.fold_in(rng, i))
         ext = jnp.concatenate(
             [table, jnp.zeros((1, F), table.dtype)], axis=0)
         xi = jnp.take(ext, blocks.input_nodes, axis=0)
         return c + xi.sum(dtype=jnp.float32) * 1e-12
 
-    t = chain(lambda c, i: gath(c, i, x))
+    t = chain(gath, (g, x))
     log(f"sampler + f32 feature gather: {t*1e3:8.2f} ms")
-    t = chain(lambda c, i: gath(c, i, x16))
+    t = chain(gath, (g, x16))
     log(f"sampler + bf16 feature gather: {t*1e3:8.2f} ms")
 
     # full single-batch train step via the epoch fn (1 batch)

@@ -87,17 +87,17 @@ def main():
     # carry-coupling: every body folds the scan carry into its INPUT
     # (xx + c) so XLA cannot hoist the op out of the scan; the cost of
     # that (xx + c) streaming pass is measured separately and reported
-    def base(c, xx):
+    def base(c, pp, xx):
         return (xx + c).sum(dtype=jnp.float32) * 1e-12 + c
-    t_base = chain(base, (x,))
+    t_base = chain(base, (p0, x))
     log(f"carry-coupling pass (x + c).sum: {t_base*1e3:8.2f} ms")
 
     # 1) bare gather of one chunk's slots
-    def bare(c, xx):
+    def bare(c, pp, xx):
         xb = (xx + c).astype(jnp.bfloat16)
-        m = jnp.take(sp._ghost_extend(xb), p0.src_idx, axis=0)
+        m = jnp.take(sp._ghost_extend(xb), pp.src_idx, axis=0)
         return c + m.sum(dtype=jnp.float32) * 1e-12
-    t = chain(bare, (x,)) - t_base
+    t = chain(bare, (p0, x)) - t_base
     log(f"bare gather 1 chunk ({s0} slots): {t*1e3:8.2f} ms "
         f"-> {s0/t/1e6:.1f}M rows/s")
 
@@ -105,43 +105,43 @@ def main():
     msgs = jax.random.normal(jax.random.PRNGKey(1), (s0, F),
                              jnp.float32).astype(jnp.bfloat16)
     _ = float(msgs[0, 0].astype(jnp.float32))
-    def mbase(c, mm):
+    def mbase(c, pp, mm):
         return (mm + c).sum(dtype=jnp.float32) * 1e-12 + c
-    t_mbase = chain(mbase, (msgs,))
-    def red(c, mm):
-        return c + sp.segment_reduce(p0, mm + c).sum(
+    t_mbase = chain(mbase, (p0, msgs))
+    def red(c, pp, mm):
+        return c + sp.segment_reduce(pp, mm + c).sum(
             dtype=jnp.float32) * 1e-9
-    t = chain(red, (msgs,)) - t_mbase
+    t = chain(red, (p0, msgs)) - t_mbase
     log(f"reduce-only 1 chunk: {t*1e3:8.2f} ms "
         f"(msg-pass baseline {t_mbase*1e3:.2f} ms)")
 
     # 3) one full chunk
-    def one(c, xx):
-        m = sp._gather_messages(p0, xx + c)
-        return c + sp.segment_reduce(p0, m).sum(dtype=jnp.float32) * 1e-9
-    t1c = chain(one, (x,)) - t_base
+    def one(c, pp, xx):
+        m = sp._gather_messages(pp, xx + c)
+        return c + sp.segment_reduce(pp, m).sum(dtype=jnp.float32) * 1e-9
+    t1c = chain(one, (p0, x)) - t_base
     log(f"gather+reduce 1 chunk: {t1c*1e3:8.2f} ms "
         f"(x{len(chunks)} = {t1c*len(chunks)*1e3:.0f} ms)")
 
     # 4) full 16-chunk copy_u_sum, carry-coupled exactly like bench.py
-    def full(c, xx):
-        h = ops.copy_u_sum(g, xx + c) * 1e-3
+    def full(c, gg, xx):
+        h = ops.copy_u_sum(gg, xx + c) * 1e-3
         return h.sum(dtype=jnp.float32) * 1e-9 + c
-    tf = chain(full, (x,), kk=3) - t_base
+    tf = chain(full, (g, x), kk=3) - t_base
     log(f"full copy_u_sum: {tf*1e3:8.2f} ms -> {E/tf/1e6:.1f}M edges/s")
 
     # 5) full copy_u_sum with a RESIDENT bf16 table: is the per-chunk
     # f32->bf16 cast being recomputed 16x?
     xb16 = x.astype(jnp.bfloat16)
     _ = float(xb16[0, 0].astype(jnp.float32))
-    def b16base(c, xx):
+    def b16base(c, gg, xx):
         return (xx + c.astype(jnp.bfloat16)).sum(
             dtype=jnp.float32) * 1e-12 + c
-    t_b16 = chain(b16base, (xb16,))
-    def full16(c, xx):
-        h = ops.copy_u_sum(g, xx + c.astype(jnp.bfloat16))
+    t_b16 = chain(b16base, (g, xb16))
+    def full16(c, gg, xx):
+        h = ops.copy_u_sum(gg, xx + c.astype(jnp.bfloat16))
         return h.sum(dtype=jnp.float32) * 1e-9 + c
-    t16 = chain(full16, (xb16,), kk=3) - t_b16
+    t16 = chain(full16, (g, xb16), kk=3) - t_b16
     log(f"full copy_u_sum (bf16 input): {t16*1e3:8.2f} ms "
         f"-> {E/t16/1e6:.1f}M edges/s")
 
