@@ -35,8 +35,8 @@ echo "== 1/4 fetch CPF npz (cora/citeseer/pubmed/a-computer/a-photo) =="
 run python tools/fetch_cpf.py --out "$DATA"
 
 echo "== 2/4 fetch + convert OGB (needs the ogb package) =="
-run python tools/convert_datasets.py --dataset ogbn-arxiv --out "$DATA"
-run python tools/convert_datasets.py --dataset ogbn-products --out "$DATA"
+run python tools/convert_datasets.py ogb ogbn-arxiv --data_path "$DATA"
+run python tools/convert_datasets.py ogb ogbn-products --data_path "$DATA"
 
 echo "== 3/4 paper runs (tran + ind; num_exp/max_epoch/patience match =="
 echo "==     the reference experiments/*.sh)                          =="

@@ -111,7 +111,7 @@ def test_reproduce_all_dry_run_and_aggregate(tmp_path):
     assert res.returncode == 0, res.stderr
     out = res.stdout
     assert "fetch_cpf.py" in out
-    assert "convert_datasets.py --dataset ogbn-products" in out
+    assert "convert_datasets.py ogb ogbn-products" in out
     # every paper family appears with its reference hyperparameters
     assert out.count("--max_epoch 200") >= 24
     assert "--dataset ogbn-products --num_exp 10 --max_epoch 40" in out
