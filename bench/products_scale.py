@@ -290,12 +290,34 @@ def main():
         "batches": -(-TRAIN // BATCH),
     })
 
+    # window sampler tier (same Floyd offsets through 2 consecutive
+    # 64-wide edge rows per node; exact for deg <= 65 — this graph's
+    # max degree is far below): ~2x fewer row-rate-bound gather touches
+    # in the sampler, the r4 fix for the 78ms/batch sampler cost
+    epoch_w = make_sage_sampled_epoch_fn(model, opt, BATCH, FANOUT,
+                                         sampler_tier="window")
+    t0 = time.perf_counter()
+    state_w, loss_w, _ = epoch_w(state, g, feats, labels, idx_train,
+                                 jax.random.PRNGKey(3))
+    loss_wv = float(loss_w)
+    compile_w = time.perf_counter() - t0
+    epoch_w_s = time_scalar(
+        lambda s: epoch_w(s, g, feats, labels, idx_train,
+                          jax.random.PRNGKey(4))[1], state_w, iters=2)
+    emit({
+        "stage": "sampled_epoch_window_tier",
+        "seconds": round(epoch_w_s, 2),
+        "first_call_s": round(compile_w, 2), "loss": round(loss_wv, 4),
+        "batches": -(-TRAIN // BATCH),
+    })
+
     eval_fn = make_eval_fn(model)
     ev_s = time_scalar(
         lambda: eval_fn(state.params, state.batch_stats, g, feats),
         iters=1)
     emit({"stage": "full_graph_eval", "seconds": round(ev_s, 2),
-          "edges_per_s": round(3 * E / ev_s, 1)})
+          "edges_per_s": round(3 * E / ev_s, 1),
+          "note": "int8 eval tier (r4 default via ops.inference_mode)"})
 
 
 if __name__ == "__main__":

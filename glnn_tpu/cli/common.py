@@ -91,6 +91,15 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=512)
     parser.add_argument("--fan_out", type=str, default="5,5",
                         help="Comma list of per-layer fanouts for sampled SAGE")
+    parser.add_argument("--sampler_tier", type=str, default="floyd",
+                        choices=["floyd", "window"],
+                        help="Neighbor-sampling gather tier: floyd = "
+                             "DGL-exact element gathers; window = same "
+                             "Floyd offsets read through 2 consecutive "
+                             "64-wide edge-array rows per node (~2x "
+                             "fewer row-rate-bound touches; exact for "
+                             "degrees <= 65, heavy-tail nodes sample "
+                             "from their first edge window)")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Unused on TPU (sampling is on-device); kept "
                              "for flag compatibility")

@@ -85,8 +85,19 @@ def frontier_caps(batch_size: int, fanouts: Sequence[int],
     return caps
 
 
+# window-sampler geometry: neighbor windows are read as WIN_ROWS
+# consecutive WIN-wide rows of the reshaped edge array (2 row-gathers
+# per frontier node instead of `fanout` element-gathers — both cost
+# the same per TOUCH on the row-rate-bound gather engine, so fewer
+# touches win ~linearly; PERF.md r4 sampled-SAGE anatomy)
+WIN = 64
+WIN_ROWS = 2
+# any start alignment guarantees exact coverage of degrees <= this
+WINDOW_EXACT_DEG = WIN * (WIN_ROWS - 1) + 1
+
+
 def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
-                    rng: jax.Array):
+                    rng: jax.Array, method: str = "floyd"):
     """Uniform in-neighbor sampling for each frontier node.
     Returns (nbr_global [C, K], valid [C, K]).
 
@@ -96,6 +107,17 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
     WITHOUT replacement via a vectorized Floyd sampler — k static
     iterations, each an O(k) membership test over the slots already
     chosen, so the traced cost is C*k^2 compares (k = fanout <= ~15).
+
+    method="window" keeps the SAME Floyd offsets but reads each node's
+    neighbors as WIN_ROWS consecutive WIN-wide rows of the edge array
+    instead of `fanout` independent element-gathers — bit-identical to
+    "floyd" for every node with deg <= WINDOW_EXACT_DEG (=65), and the
+    gather does ~fanout/2 fewer row-rate-bound touches. Nodes above
+    that degree have their sampled offsets folded back into the window
+    (mod), biasing their sample toward the first window of edges —
+    choose this tier for bounded-degree graphs (the products recipe's
+    uniform graph: P[deg > 65] ~ 1e-11) or accept the documented bias
+    on heavy tails; "floyd" stays the exact default.
     """
     n = g.n_nodes
     is_real = frontier < n
@@ -124,15 +146,39 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
     off = jnp.where(take_all, j, sel)
     valid = jnp.where(take_all, j < deg[:, None], deg[:, None] > 0)
 
-    edge_idx = start[:, None] + off
-    nbr = jnp.take(g.senders, edge_idx)            # senders == in-neighbors
+    if method == "window":
+        nbr = _window_read(g, start, off)
+    else:
+        edge_idx = start[:, None] + off
+        nbr = jnp.take(g.senders, edge_idx)        # senders == in-neighbors
     nbr = jnp.where(valid, nbr, n)
     return nbr.astype(jnp.int32), valid
 
 
+def _window_read(g: Graph, start: jax.Array, off: jax.Array) -> jax.Array:
+    """senders[start + off] via WIN_ROWS-row window gathers + in-lane
+    selection. start [C], off [C, K] -> [C, K] neighbor ids."""
+    e_pad = g.senders.shape[0]
+    rows_total = -(-(e_pad) // WIN) + WIN_ROWS       # slack rows at tail
+    snd2d = jnp.pad(g.senders,
+                    (0, rows_total * WIN - e_pad),
+                    constant_values=g.n_nodes).reshape(rows_total, WIN)
+    row0 = start // WIN                              # [C]
+    c = start.shape[0]
+    rows = row0[:, None] + jnp.arange(WIN_ROWS, dtype=row0.dtype)[None, :]
+    win = jnp.take(snd2d, rows.reshape(-1), axis=0).reshape(
+        c, WIN_ROWS * WIN)
+    lane = (start % WIN)[:, None] + off              # [C, K]
+    # fold oversized offsets back into the window (only reachable for
+    # deg > WINDOW_EXACT_DEG — the documented heavy-tail bias)
+    lane = lane % (WIN_ROWS * WIN)
+    return jnp.take_along_axis(win, lane, axis=1)
+
+
 def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
                   rng: jax.Array, caps: Sequence[int] | None = None,
-                  dedup: bool | None = None) -> SampledBlocks:
+                  dedup: bool | None = None,
+                  method: str = "floyd") -> SampledBlocks:
     """Sample L-layer blocks for `seeds` (int32[B], ghost-padded ok).
 
     Two frontier modes:
@@ -154,7 +200,7 @@ def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
     if dedup is None:
         dedup = caps is not None
     if not dedup:
-        return _sample_blocks_concat(g, seeds, fanouts, rng)
+        return _sample_blocks_concat(g, seeds, fanouts, rng, method)
     if caps is None:
         caps = frontier_caps(seeds.shape[0], fanouts, n)
 
@@ -168,7 +214,7 @@ def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
     for i in range(L - 1, -1, -1):
         out_nodes = frontiers[i + 1]
         nbr, valid = _sample_one_hop(g, out_nodes, fanouts[i],
-                                     jax.random.fold_in(rng, i))
+                                     jax.random.fold_in(rng, i), method)
         nbrs_g[i] = nbr
         valids[i] = valid
         pool = jnp.concatenate([out_nodes.reshape(-1), nbr.reshape(-1)])
@@ -202,8 +248,9 @@ def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
     )
 
 
-def _sample_blocks_concat(g: Graph, seeds: jax.Array,
-                          fanouts: list, rng: jax.Array) -> SampledBlocks:
+def _sample_blocks_concat(g: Graph, seeds: jax.Array, fanouts: list,
+                          rng: jax.Array,
+                          method: str = "floyd") -> SampledBlocks:
     """No-dedup frontiers: F_i = [F_{i+1}, sampled_i.flatten()].
 
     self_local[i] = arange(n_out); nbr_local[i] = n_out + slot index.
@@ -222,7 +269,7 @@ def _sample_blocks_concat(g: Graph, seeds: jax.Array,
         out_nodes = frontier
         k = fanouts[i]
         nbr, valid = _sample_one_hop(g, out_nodes, k,
-                                     jax.random.fold_in(rng, i))
+                                     jax.random.fold_in(rng, i), method)
         n_out = out_nodes.shape[0]
         self_local[i] = jnp.arange(n_out, dtype=jnp.int32)
         nbr_local[i] = (n_out + jnp.arange(n_out * k, dtype=jnp.int32)

@@ -366,7 +366,8 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
     elif sampled:
         from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
         epoch_fn = make_sage_sampled_epoch_fn(
-            model, optimizer, conf["batch_size"], _fanouts(conf))
+            model, optimizer, conf["batch_size"], _fanouts(conf),
+            sampler_tier=conf.get("sampler_tier", "floyd") or "floyd")
         eval_fn = make_eval_fn(model)
     else:
         step_fn = make_gnn_train_step(model, optimizer)
@@ -504,7 +505,8 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
     elif sampled:
         from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
         epoch_fn = make_sage_sampled_epoch_fn(
-            model, optimizer, conf["batch_size"], _fanouts(conf))
+            model, optimizer, conf["batch_size"], _fanouts(conf),
+            sampler_tier=conf.get("sampler_tier", "floyd") or "floyd")
         eval_fn = make_eval_fn(model)
     else:
         step_fn = make_gnn_train_step(model, optimizer)

@@ -23,7 +23,8 @@ from glnn_tpu.train.state import TrainState
 
 
 def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
-                               fanouts, lamb: float = 1.0):
+                               fanouts, lamb: float = 1.0,
+                               sampler_tier: str = "floyd"):
     fanouts = tuple(int(f) for f in fanouts)
 
     @jax.jit
@@ -50,7 +51,8 @@ def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
             seeds, b_idx = inp
             # concat-mode (no-dedup) blocks: sort-free tracing/compile
             blocks = sample_blocks(g, seeds, fanouts,
-                                   jax.random.fold_in(samp_rng, b_idx))
+                                   jax.random.fold_in(samp_rng, b_idx),
+                                   method=sampler_tier)
             x_in = jnp.take(x_ext, blocks.input_nodes, axis=0)
             y = jnp.take(labels_ext, seeds)
             mask = (seeds < n).astype(jnp.float32)

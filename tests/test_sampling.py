@@ -180,3 +180,52 @@ def test_masked_batchnorm_ignores_ghost_rows():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(newv["batch_stats"]["var"]),
                                tb.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_window_sampler_matches_floyd_on_bounded_degree():
+    """method='window' shares the Floyd offsets and must be
+    bit-identical to the element-gather tier whenever every degree is
+    <= WINDOW_EXACT_DEG (=65)."""
+    import jax
+
+    from glnn_tpu.sampling.sampler import (WINDOW_EXACT_DEG,
+                                           sample_blocks)
+
+    rs = np.random.RandomState(5)
+    n = 400
+    src = rs.randint(0, n, 3000)
+    dst = rs.randint(0, n, 3000)
+    g = build_graph(src, dst, n)
+    assert int(np.bincount(dst, minlength=n).max()) <= WINDOW_EXACT_DEG
+    seeds = jnp.asarray(rs.randint(0, n, 64), jnp.int32)
+    rng = jax.random.PRNGKey(9)
+    for fanouts in [(3, 5), (15,)]:
+        a = sample_blocks(g, seeds, fanouts, rng)
+        b = sample_blocks(g, seeds, fanouts, rng, method="window")
+        assert (np.asarray(a.input_nodes)
+                == np.asarray(b.input_nodes)).all()
+        for va, vb in zip(a.valid, b.valid):
+            assert (np.asarray(va) == np.asarray(vb)).all()
+
+
+def test_window_sampler_heavy_node_stays_in_range():
+    """Degrees past the window fold back into it: samples remain real
+    in-neighbors (no out-of-range garbage), documented bias aside."""
+    import jax
+
+    from glnn_tpu.sampling.sampler import sample_blocks
+
+    rs = np.random.RandomState(6)
+    n = 200
+    # node 0 is a 150-in-degree hub (deg > 65)
+    src = np.concatenate([rs.randint(1, n, 150), rs.randint(0, n, 500)])
+    dst = np.concatenate([np.zeros(150, np.int64),
+                          rs.randint(1, n, 500)])
+    g = build_graph(src, dst, n)
+    seeds = jnp.zeros((8,), jnp.int32)       # all seeds = the hub
+    blocks = sample_blocks(g, seeds, (5,), jax.random.PRNGKey(3),
+                           method="window")
+    nbr = np.asarray(blocks.input_nodes)[8:]   # sampled neighbors
+    real_in = set(np.asarray(g.senders)[
+        np.asarray(g.receivers) == 0].tolist())
+    assert all(v in real_in or v == n for v in nbr.tolist())
