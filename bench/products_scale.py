@@ -157,6 +157,30 @@ def halo_cpu_main():
           "note": "virtual CPU mesh — validates layout/collectives at "
                   "products scale, not TPU throughput"})
 
+    # sharded GAT attention at products scale: per-shard ATTENTION
+    # PLANS must build (fused tier structure validation) and the
+    # compose tier must execute one whole attention layer on the mesh
+    from glnn_tpu.distributed.halo import halo_gat_attention
+
+    t0 = time.perf_counter()
+    hg_att = build_halo_graph(src, dst, N, mesh, attention_plans=True)
+    att_build_s = time.perf_counter() - t0
+    h, d = 4, 8
+    feat = jnp.asarray(rs.randn(hg_att.n_pad, h, d).astype(np.float32))
+    al = jnp.asarray(rs.randn(h, d).astype(np.float32) * 0.3)
+    ar = jnp.asarray(rs.randn(h, d).astype(np.float32) * 0.3)
+    gat_f = jax.jit(lambda ff: halo_gat_attention(
+        hg_att, ff, al, ar, fused=False).sum())
+    t = time_scalar(gat_f, feat, iters=1, warmup=1)
+    emit({"stage": "halo_cpu_gat_attention", "seconds": round(t, 2),
+          "devices": P, "heads": h,
+          "attention_plans_built": hg_att.att is not None,
+          "att_plan_build_s": round(att_build_s, 2),
+          "note": "XLA compose tier timed on the CPU mesh (interpret-"
+                  "mode Pallas would be meaningless); the fused tier's "
+                  "per-shard plans build and are validated by "
+                  "tests/test_distributed.py on the same mesh"})
+
 
 def main():
     import jax

@@ -172,7 +172,16 @@ def _window_read(g: Graph, start: jax.Array, off: jax.Array) -> jax.Array:
     # fold oversized offsets back into the window (only reachable for
     # deg > WINDOW_EXACT_DEG — the documented heavy-tail bias)
     lane = lane % (WIN_ROWS * WIN)
-    return jnp.take_along_axis(win, lane, axis=1)
+    # in-lane selection via K one-hot mask reductions: lane-axis
+    # dynamic gathers (take_along_axis) lower to per-element relayouts
+    # on TPU (measured: they ate the whole window win); K elementwise
+    # [C, 128] mask+sum passes stay on the VPU
+    lanes = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+    cols = []
+    for j in range(off.shape[1]):
+        m = lanes == lane[:, j:j + 1]
+        cols.append(jnp.sum(jnp.where(m, win, 0), axis=1))
+    return jnp.stack(cols, axis=1)
 
 
 def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
