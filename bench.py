@@ -159,7 +159,10 @@ def main():
             return h.sum()
         return f
 
-    def spmm_time(op, repeats=3, k=6):
+    def spmm_time(op, repeats=3, k=10):
+        # k=10 (r4, was 6): the subtracted RPC floor varies 23-45ms
+        # across runs; a longer chain shrinks the floor's share of the
+        # per-op estimate (it distorted one r4 gather-SOL reading 30%)
         c = chain(op, k)
         best = float("inf")
         for _ in range(repeats):
@@ -294,6 +297,25 @@ def main():
         extras["gat2_teacher_step_ms"] = f"error: {exc}"
 
     # ---- comparators last: nice-to-have diagnostics ----
+    # standalone edge_softmax: planned slot-space tier vs the XLA
+    # segment tier it replaced (VERDICT r3 task 1 done-criterion)
+    if not out_of_time():
+        try:
+            scores = jax.random.normal(k5, (g.e_pad, 8), jnp.float32)
+
+            def smx_time(fn):
+                c = chain(lambda gg, s: fn(gg, s + s.sum() * 1e-20), 6)
+                return max((time_scalar(c, g, scores, iters=3) - rpc) / 6,
+                           1e-9)
+
+            t_pl = smx_time(lambda gg, s: ops.edge_softmax(gg, s))
+            t_xl = smx_time(lambda gg, s: refops.edge_softmax(gg, s))
+            extras["edge_softmax_planned_ms"] = round(t_pl * 1e3, 2)
+            extras["edge_softmax_xla_ms"] = round(t_xl * 1e3, 2)
+            _stage(f"edge_softmax planned {t_pl*1e3:.1f} vs xla "
+                   f"{t_xl*1e3:.1f} ms", start)
+        except Exception:
+            pass
     dt_xla = None
     if not out_of_time():
         try:
