@@ -175,7 +175,8 @@ def fetch_rows(mesh: Mesh, axis: str, x_sharded: jax.Array,
 
 def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
                                   fanouts, mesh: Mesh, axis: str = "dp",
-                                  lamb: float = 1.0, slack: float = 2.0):
+                                  lamb: float = 1.0, slack: float = 2.0,
+                                  sampler_tier: str = "floyd"):
     """Data-parallel fanout-sampled epoch: global batches of
     `batch_size` split across the mesh; per-device local sampling;
     features row-sharded and fetched via `fetch_rows`; psum'd global
@@ -227,7 +228,8 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
                                        me)
             d_rng = jax.random.fold_in(jax.random.fold_in(drop_rng, b_idx),
                                        me)
-            blocks = sample_blocks(g, seeds, fanouts, s_rng)
+            blocks = sample_blocks(g, seeds, fanouts, s_rng,
+                                   method=sampler_tier)
             cap = _compact_cap(blocks.input_nodes.shape[0], n_shards,
                                slack)
             x_in, fetch_ovf = _fetch_rows_compact_local(

@@ -361,7 +361,8 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
             make_dp_sampled_sage_epoch_fn)
         epoch_fn = make_dp_sampled_sage_epoch_fn(
             model, optimizer, conf["batch_size"], _fanouts(conf),
-            mesh=g.mesh, axis=g.axis)
+            mesh=g.mesh, axis=g.axis,
+            sampler_tier=conf.get("sampler_tier", "floyd") or "floyd")
         eval_fn = make_eval_fn(model)
     elif sampled:
         from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
@@ -500,7 +501,8 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
             make_dp_sampled_sage_epoch_fn)
         epoch_fn = make_dp_sampled_sage_epoch_fn(
             model, optimizer, conf["batch_size"], _fanouts(conf),
-            mesh=obs_g.mesh, axis=obs_g.axis)
+            mesh=obs_g.mesh, axis=obs_g.axis,
+            sampler_tier=conf.get("sampler_tier", "floyd") or "floyd")
         eval_fn = make_eval_fn(model)
     elif sampled:
         from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
