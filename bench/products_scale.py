@@ -73,8 +73,12 @@ def emit(obj):
         kept = []
         if os.path.exists(OUT_PATH):
             with open(OUT_PATH) as f:
-                kept = [ln for ln in f.read().splitlines() if ln.strip()
-                        and _mode(json.loads(ln)) != mode]
+                for ln in f.read().splitlines():
+                    try:                 # drop truncated/garbled rows
+                        if ln.strip() and _mode(json.loads(ln)) != mode:
+                            kept.append(ln)
+                    except json.JSONDecodeError:
+                        pass
         with open(OUT_PATH, "w") as f:
             for ln in kept:
                 f.write(ln + "\n")

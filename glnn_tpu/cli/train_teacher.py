@@ -161,7 +161,9 @@ def run(args):
         mesh = make_mesh(n_shards, axis="shard")
         plans = want_plans and jax.default_backend() == "tpu"
         return build_halo_graph(host_g.src, host_g.dst, host_g.num_nodes(),
-                                mesh, axis="shard", build_plans=plans)
+                                mesh, axis="shard", build_plans=plans,
+                                attention_plans=(
+                                    plans and "GAT" in conf["model_name"]))
 
     if args.exp_setting == "tran":
         indices = (idx_train, idx_val, idx_test)
@@ -192,7 +194,8 @@ def run(args):
             indices = (pos[np.asarray(obs_tr)], pos[np.asarray(obs_va)],
                        pos[np.asarray(obs_te)], idx_obs[order_obs], idx_ind)
         obs_g = g.subgraph(indices[3])
-        obs_G = obs_g.to_device(build_plans=build_plans)
+        obs_G = obs_g.to_device(build_plans=build_plans,
+                                softmax_plans=smx_plans)
         if args.feature_aug_k > 0:
             idx_obs = indices[3]
             obs_feats = np.asarray(

@@ -128,11 +128,19 @@ class HostGraph:
             g = build_graph(self.src, self.dst, self.n_nodes, pad_to=pad_to)
             if build_plans:
                 g = g.with_plans(softmax=want_smx)
+                if want_smx and g.smx is None:
+                    self._smx_declined = True
             self._device_graph = g
         elif build_plans and (self._device_graph.plans is None or (
-                want_smx and self._device_graph.smx is None)):
-            self._device_graph = self._device_graph.with_plans(
-                softmax=want_smx)
+                want_smx and self._device_graph.smx is None
+                and not getattr(self, "_smx_declined", False))):
+            # the attention plan can DECLINE (mega-hub skew / pad
+            # waste); remember that, or every later to_device would
+            # rebuild all the SpMM plans just to decline again
+            g = self._device_graph.with_plans(softmax=want_smx)
+            if want_smx and g.smx is None:
+                self._smx_declined = True
+            self._device_graph = g
         return self._device_graph
 
 

@@ -271,7 +271,6 @@ class Model:
                 # trace is abstract for parameters but executes concrete
                 # graph-only ops eagerly, so run it ONCE per (module
                 # class, feature width) per process, not on every init.
-                _SWAP_VERIFIED[type(self.module).__name__] = feats.shape[-1]
                 want = jax.eval_shape(
                     lambda k: self.module.init({"params": k}, g_orig,
                                                feats_orig, training=False),
@@ -285,6 +284,13 @@ class Model:
                         "Model.init graph swap produced different "
                         f"parameter shapes: {got} != {want}; this "
                         "layer's init depends on graph statistics")
+                # mark verified only AFTER the check passes; keyed per
+                # (module class, feature width) per process — a
+                # deliberate tradeoff: graph-identity keying would
+                # re-trace every init, which is what the guard's
+                # caching exists to avoid
+                _SWAP_VERIFIED[type(self.module).__name__] = \
+                    feats.shape[-1]
             return variables
         return self.module.init({"params": key}, g, feats, training=False)
 

@@ -40,14 +40,19 @@ def _is_halo(g) -> bool:
     return isinstance(g, HaloGraph)
 
 
-def _use_pallas(g, x) -> bool:
+def _tier_selected() -> bool:
+    """One predicate for "the Pallas tier applies": forced via
+    set_backend, or auto on TPU (shared by the SpMM, attention and
+    halo dispatch paths so a future tier can change it in one place)."""
     if _BACKEND == "xla":
-        return False
-    if g.plans is None or x.ndim != 2:
         return False
     if _BACKEND in ("pallas", "pallas_int8"):
         return True
     return jax.default_backend() == "tpu"
+
+
+def _use_pallas(g, x) -> bool:
+    return g.plans is not None and x.ndim == 2 and _tier_selected()
 
 
 # ---- inference-mode int8 tier (VERDICT r3 task 4a) -----------------
@@ -140,9 +145,7 @@ def u_add_v(g, a_u, a_v):
 
 
 def _use_smx(g) -> bool:
-    return (getattr(g, "smx", None) is not None and _BACKEND != "xla"
-            and (_BACKEND in ("pallas", "pallas_int8")
-                 or jax.default_backend() == "tpu"))
+    return getattr(g, "smx", None) is not None and _tier_selected()
 
 
 def edge_softmax(g, scores):
@@ -171,12 +174,9 @@ def gat_attention(g, feat, attn_l, attn_r, *, slope=0.2, drop_rate=0.0,
     if _is_halo(g):
         from glnn_tpu.distributed.halo import halo_gat_attention
 
-        fused = (_BACKEND != "xla"
-                 and (_BACKEND in ("pallas", "pallas_int8")
-                      or jax.default_backend() == "tpu"))
         return halo_gat_attention(
             g, feat, attn_l, attn_r, slope=slope, drop_rate=drop_rate,
-            drop_rng=drop_rng, fused=fused)
+            drop_rng=drop_rng, fused=_tier_selected())
     if _use_smx(g) and feat.ndim == 3:
         from glnn_tpu.ops import gat_pallas
 

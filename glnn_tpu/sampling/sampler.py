@@ -97,7 +97,8 @@ WINDOW_EXACT_DEG = WIN * (WIN_ROWS - 1) + 1
 
 
 def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
-                    rng: jax.Array, method: str = "floyd"):
+                    rng: jax.Array, method: str = "floyd",
+                    snd2d: jax.Array | None = None):
     """Uniform in-neighbor sampling for each frontier node.
     Returns (nbr_global [C, K], valid [C, K]).
 
@@ -147,7 +148,7 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
     valid = jnp.where(take_all, j < deg[:, None], deg[:, None] > 0)
 
     if method == "window":
-        nbr = _window_read(g, start, off)
+        nbr = _window_read(g, start, deg, off, snd2d)
     else:
         edge_idx = start[:, None] + off
         nbr = jnp.take(g.senders, edge_idx)        # senders == in-neighbors
@@ -155,23 +156,39 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
     return nbr.astype(jnp.int32), valid
 
 
-def _window_read(g: Graph, start: jax.Array, off: jax.Array) -> jax.Array:
-    """senders[start + off] via WIN_ROWS-row window gathers + in-lane
-    selection. start [C], off [C, K] -> [C, K] neighbor ids."""
+def window_view(g: Graph) -> jax.Array:
+    """The edge array reshaped to [rows, WIN] with ghost-padded slack
+    (the window sampler's gather table). Called once per traced epoch
+    OUTSIDE the batch scan so the O(E) pad/copy never sits in the hot
+    loop; _window_read also accepts it precomputed."""
     e_pad = g.senders.shape[0]
-    rows_total = -(-(e_pad) // WIN) + WIN_ROWS       # slack rows at tail
-    snd2d = jnp.pad(g.senders,
-                    (0, rows_total * WIN - e_pad),
-                    constant_values=g.n_nodes).reshape(rows_total, WIN)
+    rows_total = -(-e_pad // WIN) + WIN_ROWS         # slack rows at tail
+    return jnp.pad(g.senders, (0, rows_total * WIN - e_pad),
+                   constant_values=g.n_nodes).reshape(rows_total, WIN)
+
+
+def _window_read(g: Graph, start: jax.Array, deg: jax.Array,
+                 off: jax.Array,
+                 snd2d: jax.Array | None = None) -> jax.Array:
+    """senders[start + off] via WIN_ROWS-row window gathers + in-lane
+    selection. start/deg [C], off [C, K] -> [C, K] neighbor ids."""
+    if snd2d is None:
+        snd2d = window_view(g)
     row0 = start // WIN                              # [C]
     c = start.shape[0]
     rows = row0[:, None] + jnp.arange(WIN_ROWS, dtype=row0.dtype)[None, :]
     win = jnp.take(snd2d, rows.reshape(-1), axis=0).reshape(
         c, WIN_ROWS * WIN)
-    lane = (start % WIN)[:, None] + off              # [C, K]
-    # fold oversized offsets back into the window (only reachable for
-    # deg > WINDOW_EXACT_DEG — the documented heavy-tail bias)
-    lane = lane % (WIN_ROWS * WIN)
+    s0 = start % WIN                                 # [C]
+    # fold oversized offsets onto the node's OWN in-window edge range
+    # (reachable only for deg > WINDOW_EXACT_DEG — the documented
+    # heavy-tail bias). The fold cap is PER NODE (its own edges that
+    # fit the window): a plain mod by the window width wrapped lanes
+    # before the segment start and returned the PREVIOUS node's edges
+    # for unaligned hubs — caught in review with an 18%-contamination
+    # repro; tests/test_sampling.py pins own-neighbor membership now.
+    cap = jnp.maximum(jnp.minimum(deg, WIN_ROWS * WIN - s0), 1)
+    lane = s0[:, None] + off % cap[:, None]          # [C, K]
     # in-lane selection via K one-hot mask reductions: lane-axis
     # dynamic gathers (take_along_axis) lower to per-element relayouts
     # on TPU (measured: they ate the whole window win); K elementwise
@@ -186,8 +203,8 @@ def _window_read(g: Graph, start: jax.Array, off: jax.Array) -> jax.Array:
 
 def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
                   rng: jax.Array, caps: Sequence[int] | None = None,
-                  dedup: bool | None = None,
-                  method: str = "floyd") -> SampledBlocks:
+                  dedup: bool | None = None, method: str = "floyd",
+                  snd2d: jax.Array | None = None) -> SampledBlocks:
     """Sample L-layer blocks for `seeds` (int32[B], ghost-padded ok).
 
     Two frontier modes:
@@ -209,7 +226,8 @@ def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
     if dedup is None:
         dedup = caps is not None
     if not dedup:
-        return _sample_blocks_concat(g, seeds, fanouts, rng, method)
+        return _sample_blocks_concat(g, seeds, fanouts, rng, method,
+                                     snd2d)
     if caps is None:
         caps = frontier_caps(seeds.shape[0], fanouts, n)
 
@@ -223,7 +241,8 @@ def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
     for i in range(L - 1, -1, -1):
         out_nodes = frontiers[i + 1]
         nbr, valid = _sample_one_hop(g, out_nodes, fanouts[i],
-                                     jax.random.fold_in(rng, i), method)
+                                     jax.random.fold_in(rng, i), method,
+                                     snd2d)
         nbrs_g[i] = nbr
         valids[i] = valid
         pool = jnp.concatenate([out_nodes.reshape(-1), nbr.reshape(-1)])
@@ -258,8 +277,9 @@ def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],
 
 
 def _sample_blocks_concat(g: Graph, seeds: jax.Array, fanouts: list,
-                          rng: jax.Array,
-                          method: str = "floyd") -> SampledBlocks:
+                          rng: jax.Array, method: str = "floyd",
+                          snd2d: jax.Array | None = None
+                          ) -> SampledBlocks:
     """No-dedup frontiers: F_i = [F_{i+1}, sampled_i.flatten()].
 
     self_local[i] = arange(n_out); nbr_local[i] = n_out + slot index.
@@ -278,7 +298,8 @@ def _sample_blocks_concat(g: Graph, seeds: jax.Array, fanouts: list,
         out_nodes = frontier
         k = fanouts[i]
         nbr, valid = _sample_one_hop(g, out_nodes, k,
-                                     jax.random.fold_in(rng, i), method)
+                                     jax.random.fold_in(rng, i), method,
+                                     snd2d)
         n_out = out_nodes.shape[0]
         self_local[i] = jnp.arange(n_out, dtype=jnp.int32)
         nbr_local[i] = (n_out + jnp.arange(n_out * k, dtype=jnp.int32)

@@ -91,14 +91,21 @@ def make_gnn_train_step(model, optimizer, lamb: float = 1.0):
     return step
 
 
-def make_eval_fn(model):
+def make_eval_fn(model, exact: bool = False):
     """All-node log-probs in eval mode (no dropout, running stats).
 
     The trace is marked `ops.inference_mode()`: no gradient flows, so
     under the auto backend the unweighted aggregations pick the int8
     gather tier (0.81 of measured gather SOL vs 0.69 bf16, ~1% feature
-    error swamped by the argmax) — `--exact_eval` /
-    ops.set_eval_quant(False) restores the exact tier."""
+    error swamped by the argmax scoring) — `--exact_eval` /
+    ops.set_eval_quant(False) restores the exact tier globally.
+
+    `exact=True` skips the marker for THIS eval fn regardless of the
+    global flag: the runners use it for the FINAL all-node forward
+    whose log-probs become out.npz — the student's distillation
+    targets consume those values directly (KL, not argmax), so the
+    quantized tier is only ever applied to intermediate
+    early-stop/model-selection scoring."""
     from glnn_tpu import ops
 
     @jax.jit
@@ -106,8 +113,11 @@ def make_eval_fn(model):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        with ops.inference_mode():
+        if exact:
             h = model.apply(variables, g, feats, training=False)[1]
+        else:
+            with ops.inference_mode():
+                h = model.apply(variables, g, feats, training=False)[1]
         return log_softmax(h)
 
     return evaluate
@@ -436,7 +446,10 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
     if is_mlp:
         out = eval_fn(state.params, state.batch_stats, feats)
     else:
-        out = eval_fn(state.params, state.batch_stats, g, feats)
+        # FINAL all-node log-probs feed out.npz (the student's KL
+        # targets): always the exact tier, never the int8 eval gather
+        out = make_eval_fn(model, exact=True)(
+            state.params, state.batch_stats, g, feats)
     _, score_val = _subset_metrics(out, labels, idx_val)
     _, score_test = _subset_metrics(out, labels, idx_test)
     logger.info(
@@ -578,8 +591,11 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         out_all = eval_fn(state.params, state.batch_stats, feats)
         obs_out = out_all[idx_obs]
     else:
-        obs_out = eval_fn(state.params, state.batch_stats, obs_g, obs_feats)
-        out_all = eval_fn(state.params, state.batch_stats, g, feats)
+        # FINAL log-probs feed out.npz (KL targets): exact tier only
+        exact_eval = make_eval_fn(model, exact=True)
+        obs_out = exact_eval(state.params, state.batch_stats, obs_g,
+                             obs_feats)
+        out_all = exact_eval(state.params, state.batch_stats, g, feats)
     _, score_val = _subset_metrics(obs_out, obs_labels, obs_idx_val)
     _, score_test_tran = _subset_metrics(obs_out, obs_labels, obs_idx_test)
     _, score_test_ind = _subset_metrics(out_all, labels, idx_test_ind)

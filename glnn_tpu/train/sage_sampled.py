@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from glnn_tpu.sampling.sampler import sample_blocks
+from glnn_tpu.sampling.sampler import sample_blocks, window_view
 from glnn_tpu.train.losses import log_softmax
 from glnn_tpu.train.state import TrainState
 
@@ -43,6 +43,9 @@ def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
 
         x_ext = jnp.concatenate(
             [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0)
+        # window tier: materialize the reshaped edge table ONCE per
+        # epoch, outside the batch scan (an O(E) pad/copy)
+        snd2d = window_view(g) if sampler_tier == "window" else None
         labels_ext = jnp.concatenate(
             [labels, jnp.zeros((1,), labels.dtype)], axis=0)
 
@@ -52,7 +55,7 @@ def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
             # concat-mode (no-dedup) blocks: sort-free tracing/compile
             blocks = sample_blocks(g, seeds, fanouts,
                                    jax.random.fold_in(samp_rng, b_idx),
-                                   method=sampler_tier)
+                                   method=sampler_tier, snd2d=snd2d)
             x_in = jnp.take(x_ext, blocks.input_nodes, axis=0)
             y = jnp.take(labels_ext, seeds)
             mask = (seeds < n).astype(jnp.float32)

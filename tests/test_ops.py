@@ -208,3 +208,26 @@ def test_eval_fn_marks_inference_mode(monkeypatch):
     fn = make_eval_fn(model)
     fn(variables["params"], variables.get("batch_stats", {}), g, x)
     assert seen and all(seen)
+
+
+def test_exact_eval_fn_skips_inference_mode(monkeypatch):
+    """The runners' FINAL all-node eval (whose log-probs become the
+    out.npz distillation targets) must NOT carry the inference_mode
+    marker — the int8 tier is for intermediate argmax scoring only."""
+    from glnn_tpu import ops as gops
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train.engine import make_eval_fn
+
+    src, dst, n = _rand_graph(n=48, e=300, seed=23)
+    g = build_graph(src, dst, n)
+    x = jnp.asarray(np.random.RandomState(4).randn(n, 8).astype(np.float32))
+    model = Model(dict(model_name="GCN", num_layers=2, hidden_dim=16,
+                       label_dim=4, dropout_ratio=0.0, norm_type="none"))
+    variables = model.init(__import__("jax").random.PRNGKey(0), g, x)
+    seen = []
+    orig = gops.copy_u_sum
+    monkeypatch.setattr(gops, "copy_u_sum",
+                        lambda *a: seen.append(gops._IN_EVAL) or orig(*a))
+    fn = make_eval_fn(model, exact=True)
+    fn(variables["params"], variables.get("batch_stats", {}), g, x)
+    assert seen and not any(seen)

@@ -208,24 +208,33 @@ def test_window_sampler_matches_floyd_on_bounded_degree():
             assert (np.asarray(va) == np.asarray(vb)).all()
 
 
-def test_window_sampler_heavy_node_stays_in_range():
-    """Degrees past the window fold back into it: samples remain real
-    in-neighbors (no out-of-range garbage), documented bias aside."""
+def test_window_sampler_heavy_node_samples_own_neighbors():
+    """Degrees past the window fold onto the node's OWN in-window
+    edges: every sample must be a real in-neighbor OF THAT NODE. The
+    review repro: an UNALIGNED hub (segment start % 64 != 0) under a
+    plain window-width mod wrapped into the PREVIOUS node's edges
+    (18% contamination); the per-node fold cap pins this."""
     import jax
 
     from glnn_tpu.sampling.sampler import sample_blocks
 
     rs = np.random.RandomState(6)
     n = 200
-    # node 0 is a 150-in-degree hub (deg > 65)
-    src = np.concatenate([rs.randint(1, n, 150), rs.randint(0, n, 500)])
-    dst = np.concatenate([np.zeros(150, np.int64),
-                          rs.randint(1, n, 500)])
+    hub = 97                      # unaligned segment start (dst-sorted)
+    src = np.concatenate([rs.randint(0, n, 700),
+                          rs.randint(0, n, 150)])
+    dst = np.concatenate([rs.randint(0, n, 700),
+                          np.full(150, hub, np.int64)])
     g = build_graph(src, dst, n)
-    seeds = jnp.zeros((8,), jnp.int32)       # all seeds = the hub
-    blocks = sample_blocks(g, seeds, (5,), jax.random.PRNGKey(3),
-                           method="window")
-    nbr = np.asarray(blocks.input_nodes)[8:]   # sampled neighbors
-    real_in = set(np.asarray(g.senders)[
-        np.asarray(g.receivers) == 0].tolist())
-    assert all(v in real_in or v == n for v in nbr.tolist())
+    indptr = np.asarray(g.indptr)
+    assert indptr[hub] % 64 != 0          # the repro needs misalignment
+    assert indptr[hub + 1] - indptr[hub] > 65
+    for seed in range(4):
+        seeds = jnp.full((16,), hub, jnp.int32)
+        blocks = sample_blocks(g, seeds, (7,), jax.random.PRNGKey(seed),
+                               method="window")
+        nbr = np.asarray(blocks.input_nodes)[16:]
+        real_in = set(np.asarray(g.senders)[
+            np.asarray(g.receivers) == hub].tolist())
+        bad = [v for v in nbr.tolist() if v not in real_in and v != n]
+        assert not bad, f"cross-node contamination: {bad[:5]}" 
