@@ -110,3 +110,22 @@ def test_chunked_ghost_src_is_global_ghost_row():
     assert np.isfinite(out).all()
     scale = np.abs(want).max()
     np.testing.assert_allclose(out, want, atol=2e-2 * scale)
+
+
+def test_shipped_attention_plan_roundtrips():
+    """The r4 AttentionPlan (nested SpmmPlan included) must survive the
+    one-shot packed transfer field-for-field — the bench ships it this
+    way before the fused GAT stages."""
+    src, dst = _edges(n=400, e=3000, seed=3)
+    g_host = build_graph(src, dst, 400, device=False).with_plans(
+        device=False)
+    assert g_host.smx is not None
+    g = ship_packed(g_host)
+    a, b = g_host.smx, g.smx
+    assert (a.x, a.block_rows, a.num_blocks, a.e_orig) == \
+        (b.x, b.block_rows, b.num_blocks, b.e_orig)
+    for f in ("src_idx", "slot_edge", "edge_slot", "rec_lane", "rec_sub"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)))
+    np.testing.assert_array_equal(np.asarray(a.bwd.src_idx),
+                                  np.asarray(b.bwd.src_idx))

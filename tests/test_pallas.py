@@ -618,3 +618,30 @@ def test_gat_forward_with_planned_softmax_matches_xla():
         gops.set_backend("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_gat_model_on_padded_graph_matches_unpadded():
+    """Full GAT Model forward, pallas-forced, on a ghost-padded edge
+    array must equal the unpadded build (padding edges are invisible
+    to the attention plan)."""
+    from glnn_tpu import ops as gops
+    from glnn_tpu.nn.models import Model
+
+    rs = np.random.RandomState(44)
+    n, e = 150, 900
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    g0 = build_graph(src, dst, n).with_plans()
+    g1 = build_graph(src, dst, n, pad_to=1024).with_plans()
+    x = jnp.asarray(rs.randn(n, 12).astype(np.float32))
+    conf = dict(model_name="GAT", num_layers=2, hidden_dim=16,
+                label_dim=4, dropout_ratio=0.0, attn_dropout_ratio=0.0,
+                norm_type="none", num_heads=4)
+    model = Model(conf)
+    v = model.init(jax.random.PRNGKey(0), g0, x)
+    gops.set_backend("pallas")
+    try:
+        a = np.asarray(model.apply(v, g0, x, training=False)[1])
+        b = np.asarray(model.apply(v, g1, x, training=False)[1])
+    finally:
+        gops.set_backend("auto")
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
