@@ -75,7 +75,8 @@ def emit(obj):
             with open(OUT_PATH) as f:
                 for ln in f.read().splitlines():
                     try:                 # drop truncated/garbled rows
-                        if ln.strip() and _mode(json.loads(ln)) != mode:
+                        row = json.loads(ln) if ln.strip() else None
+                        if isinstance(row, dict) and _mode(row) != mode:
                             kept.append(ln)
                     except json.JSONDecodeError:
                         pass

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from glnn_tpu.sampling.sampler import sample_blocks
+from glnn_tpu.sampling.sampler import sample_blocks, window_view
 from glnn_tpu.train.losses import log_softmax
 from glnn_tpu.train.state import TrainState
 
@@ -219,6 +219,10 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
 
         labels_ext = jnp.concatenate(
             [labels, jnp.zeros((1,), labels.dtype)], axis=0)
+        # window tier: materialize the reshaped edge table ONCE per
+        # epoch, outside the per-batch scan (an O(E) pad/copy — same
+        # hoist as train/sage_sampled.py)
+        snd2d = window_view(g) if sampler_tier == "window" else None
 
         def shard_step(params, batch_stats, x_blk, seeds_blk, b_idx):
             x_blk = x_blk.reshape(rows, -1)
@@ -229,7 +233,7 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
             d_rng = jax.random.fold_in(jax.random.fold_in(drop_rng, b_idx),
                                        me)
             blocks = sample_blocks(g, seeds, fanouts, s_rng,
-                                   method=sampler_tier)
+                                   method=sampler_tier, snd2d=snd2d)
             cap = _compact_cap(blocks.input_nodes.shape[0], n_shards,
                                slack)
             x_in, fetch_ovf = _fetch_rows_compact_local(

@@ -92,6 +92,17 @@ class inference_mode:
         _IN_EVAL = self._old
 
 
+def eval_quant_active() -> bool:
+    """Would an `inference_mode` trace actually pick the int8 tier?
+    The runners use this to skip compiling a separate exact final-eval
+    function when it would produce identical HLO to the regular one
+    (CPU runs, --exact_eval, forced non-quantized backends)."""
+    if not _tier_selected():
+        return False
+    return _BACKEND == "pallas_int8" or (_BACKEND == "auto"
+                                         and _EVAL_QUANT)
+
+
 def _unweighted_tier() -> str:
     """Tier for copy_u_sum under the pallas path: "int8" | "bf16"."""
     if _BACKEND == "pallas_int8":

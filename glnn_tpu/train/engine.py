@@ -447,9 +447,13 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         out = eval_fn(state.params, state.batch_stats, feats)
     else:
         # FINAL all-node log-probs feed out.npz (the student's KL
-        # targets): always the exact tier, never the int8 eval gather
-        out = make_eval_fn(model, exact=True)(
-            state.params, state.batch_stats, g, feats)
+        # targets): always the exact tier, never the int8 eval gather.
+        # When the quant tier cannot engage anyway, reuse the compiled
+        # eval_fn instead of paying a second identical trace+compile.
+        from glnn_tpu import ops
+        final_fn = (make_eval_fn(model, exact=True)
+                    if ops.eval_quant_active() else eval_fn)
+        out = final_fn(state.params, state.batch_stats, g, feats)
     _, score_val = _subset_metrics(out, labels, idx_val)
     _, score_test = _subset_metrics(out, labels, idx_test)
     logger.info(
@@ -592,7 +596,10 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         obs_out = out_all[idx_obs]
     else:
         # FINAL log-probs feed out.npz (KL targets): exact tier only
-        exact_eval = make_eval_fn(model, exact=True)
+        # (reuse eval_fn when the quant tier cannot engage anyway)
+        from glnn_tpu import ops
+        exact_eval = (make_eval_fn(model, exact=True)
+                      if ops.eval_quant_active() else eval_fn)
         obs_out = exact_eval(state.params, state.batch_stats, obs_g,
                              obs_feats)
         out_all = exact_eval(state.params, state.batch_stats, g, feats)
