@@ -4,11 +4,20 @@ Tiers (same API, parity-tested against each other):
   a) refops — XLA segment primitives (CPU-runnable oracle)
   b) pallas — MXU one-hot-matmul SpMM (ops/spmm_pallas.py; block-mode
      kernel since r3); selected automatically on TPU for graphs
-     carrying SpmmPlans (to_device(build_plans=True)), ~3.1x the XLA
-     tier on v5e (155.3M edges/s arxiv-scale, driver-verified BENCH_r03)
-  c) sharded — shard_map + halo exchange (distributed/)
+     carrying SpmmPlans (to_device(build_plans=True)), ~3x the XLA
+     tier on v5e (155.3M edges/s arxiv-scale, driver-verified
+     BENCH_r03). Graphs carrying an AttentionPlan additionally get the
+     fused slot-space attention (ops/gat_pallas.py, r4): edge_softmax
+     and the whole `gat_attention` layer run as single kernels (GAT
+     step 1235 -> 192 ms). Inside `inference_mode()` traces
+     (make_eval_fn / Model.inference) unweighted aggregations default
+     to the int8 gather tier — see set_eval_quant.
+  c) sharded — shard_map + halo exchange (distributed/), including the
+     fused attention per shard when the HaloGraph carries per-shard
+     attention plans.
 
-`set_backend` forces a tier: "auto" (default), "xla", "pallas".
+`set_backend` forces a tier: "auto" (default), "xla", "pallas",
+"pallas_int8".
 """
 
 import jax
