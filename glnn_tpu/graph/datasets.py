@@ -161,16 +161,28 @@ def _load_penn94_mat(data_path):
     n = A.shape[0]
 
     g = HostGraph(A.row.astype(np.int64), A.col.astype(np.int64), n)
+    # reference applies dgl.to_bidirected (dataloader.py:195-196);
+    # facebook100 A happens to be symmetric, but a non-canonical .mat
+    # must still produce the same edge set
+    g = g.to_bidirected()
     labels = metadata[:, 1] - 1  # gender label, unlabeled -> -1
 
-    # one-hot all columns except gender (col 1)
+    # one-hot all columns except gender (col 1). sklearn's
+    # label_binarize emits a SINGLE 0/1 column for binary columns and
+    # k columns otherwise — binarize_labels always emits k, which
+    # shifted the feature matrix for any 2-valued metadata column
     feature_vals = np.hstack(
         (np.expand_dims(metadata[:, 0], 1), metadata[:, 2:])
     )
     features = []
     for col in range(feature_vals.shape[1]):
         feat_col = feature_vals[:, col]
-        feat_onehot = gsp.binarize_labels(feat_col)
+        classes = np.unique(feat_col)
+        if len(classes) == 2:
+            feat_onehot = (feat_col == classes[1]).astype(
+                np.float32)[:, None]
+        else:
+            feat_onehot = gsp.binarize_labels(feat_col)
         features.append(feat_onehot)
     features = np.hstack(features).astype(np.float32)
     return g, features, labels
@@ -269,7 +281,14 @@ def encode_cat_features(X, y, cat_features, train_mask):
     prior = y_arr[train_idx].mean()
     rest_idx = np.setdiff1d(np.arange(len(X)), train_idx)
     for col in cat_features:
-        col_vals = X[col].to_numpy()
+        # NaN categories: pandas groupby drops NaN keys, which would
+        # leave those rows NaN (later min-1-filled) where
+        # CatBoostEncoder treats missing as a regular category value —
+        # encode NaN as its own sentinel category instead
+        col_series = X[col]
+        if col_series.isna().any():
+            col_series = col_series.fillna("\x00__nan__")
+        col_vals = col_series.to_numpy()
         c_tr = pd.Series(col_vals[train_idx])
         y_tr = pd.Series(y_arr[train_idx])
         grp = y_tr.groupby(c_tr)
@@ -291,7 +310,11 @@ def normalize_features(X, train_mask):
     (dataloader.py:350-355 contract)."""
     from sklearn import preprocessing
 
-    X = X.copy()
+    # float frame FIRST: assigning scaled floats into integer-dtyped
+    # columns raises under pandas 3 (lossy setitem) and silently
+    # truncated to zeros on older pandas — real BGNN CSVs carry int
+    # columns (counts/years) that pd.read_csv infers as int64
+    X = X.astype(np.float64)
     min_max_scaler = preprocessing.MinMaxScaler()
     min_max_scaler.fit(X.iloc[train_mask])
     X.iloc[:] = min_max_scaler.transform(X)

@@ -102,14 +102,16 @@ class inference_mode:
 
 
 def eval_quant_active() -> bool:
-    """Would an `inference_mode` trace actually pick the int8 tier?
-    The runners use this to skip compiling a separate exact final-eval
-    function when it would produce identical HLO to the regular one
-    (CPU runs, --exact_eval, forced non-quantized backends)."""
+    """Does the `inference_mode` marker change which tier a trace
+    picks? True only under the AUTO backend with eval-quant on: a
+    forced `pallas_int8` quantizes everything everywhere (user's
+    explicit choice — the final eval included), and every other
+    backend ignores the marker, so in both cases the runners reuse the
+    already-compiled eval fn instead of building an 'exact' twin with
+    identical HLO."""
     if not _tier_selected():
         return False
-    return _BACKEND == "pallas_int8" or (_BACKEND == "auto"
-                                         and _EVAL_QUANT)
+    return _BACKEND == "auto" and _EVAL_QUANT
 
 
 def _unweighted_tier() -> str:

@@ -391,6 +391,9 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         timer.__enter__()
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
+            loss = float(loss)     # sync: the timer must not measure
+            # async dispatch only (the reference fetches loss.item()
+            # per epoch too, so this is also protocol parity)
         elif sampled:
             state, loss, overflow = epoch_fn(
                 state, g_struct if halo else g, feats, labels, idx_train,
@@ -405,16 +408,17 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         else:
             state, loss = step_fn(state, g, feats, labels, idx_train,
                                   epoch_rng)
-
+            loss = float(loss)     # sync before the timer reads
         timer.__exit__()
         _debug_guard(conf, loss, epoch, "teacher tran runner")
         if epoch % conf["eval_interval"] == 0:
             if is_mlp:
-                out_train = eval_fn(state.params, state.batch_stats,
-                                    feats_train)
-                loss_train = float(nll_loss(out_train, labels_train))
-                score_train = float(accuracy(out_train, labels_train))
+                # one all-node eval; train metrics via row slicing (the
+                # chunked eval is row-independent and bitwise equal to
+                # a separate subset forward — make_mlp_eval_fn contract)
                 out = eval_fn(state.params, state.batch_stats, feats)
+                loss_train, score_train = _subset_metrics(out, labels,
+                                                          idx_train)
                 loss_val, score_val = _subset_metrics(out, labels, idx_val)
                 loss_test, score_test = _subset_metrics(out, labels, idx_test)
             else:
@@ -447,9 +451,12 @@ def run_transductive(conf, model, g, feats, labels, indices, optimizer,
         out = eval_fn(state.params, state.batch_stats, feats)
     else:
         # FINAL all-node log-probs feed out.npz (the student's KL
-        # targets): always the exact tier, never the int8 eval gather.
-        # When the quant tier cannot engage anyway, reuse the compiled
-        # eval_fn instead of paying a second identical trace+compile.
+        # targets): under the auto policy, always the exact tier —
+        # never the int8 eval gather. (A forced set_backend
+        # ("pallas_int8") quantizes everything by explicit user
+        # choice, final eval included.) When the marker cannot change
+        # the tier, reuse the compiled eval_fn instead of paying a
+        # second identical trace+compile.
         from glnn_tpu import ops
         final_fn = (make_eval_fn(model, exact=True)
                     if ops.eval_quant_active() else eval_fn)
@@ -538,6 +545,7 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         timer.__enter__()
         if is_mlp:
             state, loss = epoch_fn(state, feats_train, labels_train, epoch_rng)
+            loss = float(loss)     # sync before the timer reads
         elif sampled:
             state, loss, overflow = epoch_fn(
                 state, g_struct if halo else obs_g, obs_feats, obs_labels,
@@ -552,7 +560,7 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         else:
             state, loss = step_fn(state, obs_g, obs_feats, obs_labels,
                                   obs_idx_train, epoch_rng)
-
+            loss = float(loss)     # sync before the timer reads
         timer.__exit__()
         _debug_guard(conf, loss, epoch, "teacher ind runner")
         if epoch % conf["eval_interval"] == 0:
@@ -595,8 +603,9 @@ def run_inductive(conf, model, g, obs_g, feats, labels, indices, optimizer,
         out_all = eval_fn(state.params, state.batch_stats, feats)
         obs_out = out_all[idx_obs]
     else:
-        # FINAL log-probs feed out.npz (KL targets): exact tier only
-        # (reuse eval_fn when the quant tier cannot engage anyway)
+        # FINAL log-probs feed out.npz (KL targets): exact tier under
+        # the auto policy (reuse eval_fn when the marker cannot change
+        # the tier; forced pallas_int8 quantizes by user choice)
         from glnn_tpu import ops
         exact_eval = (make_eval_fn(model, exact=True)
                       if ops.eval_quant_active() else eval_fn)
@@ -667,14 +676,18 @@ def distill_run_transductive(conf, model, feats, labels, out_t_all,
         _debug_guard(conf, loss, epoch, "distill runner")
         if epoch % conf["eval_interval"] == 0:
             out = eval_fn(state.params, state.batch_stats, feats)
-            _, score_l = _subset_metrics(out, labels, idx_l)
+            # the logged loss_l is the EVAL-mode NLL on the hard-label
+            # set (reference re-evaluates before appending,
+            # train_and_eval.py:568-583), not the dropout-affected
+            # training loss
+            loss_l_ev, score_l = _subset_metrics(out, labels, idx_l)
             loss_val, score_val = _subset_metrics(out, labels, idx_val)
             loss_test, score_test = _subset_metrics(out, labels, idx_test)
             logger.debug(
                 f"Ep {epoch:3d} | loss: {loss:.4f} | s_l: {score_l:.4f} | "
                 f"s_val: {score_val:.4f} | s_test: {score_test:.4f}"
             )
-            loss_and_score.append([epoch, float(loss_l), loss_val, loss_test,
+            loss_and_score.append([epoch, loss_l_ev, loss_val, loss_test,
                                    score_l, score_val, score_test])
             tracker.update(epoch, score_val, state)
 
@@ -749,21 +762,24 @@ def distill_run_inductive(conf, model, feats, labels, out_t_all,
         if epoch % conf["eval_interval"] == 0:
             out_all = eval_fn(state.params, state.batch_stats, feats)
             obs_out = out_all[idx_obs]
-            _, score_l = _subset_metrics(obs_out, obs_labels, obs_idx_l)
+            # eval-mode losses, 9-field reference row layout
+            # (train_and_eval.py:702-714)
+            loss_l_ev, score_l = _subset_metrics(obs_out, obs_labels,
+                                                 obs_idx_l)
             loss_val, score_val = _subset_metrics(obs_out, obs_labels,
                                                   obs_idx_val)
-            _, score_test_tran = _subset_metrics(obs_out, obs_labels,
-                                                 obs_idx_test)
-            _, score_test_ind = _subset_metrics(out_all, labels,
-                                                idx_test_ind)
+            loss_tt, score_test_tran = _subset_metrics(
+                obs_out, obs_labels, obs_idx_test)
+            loss_ti, score_test_ind = _subset_metrics(out_all, labels,
+                                                      idx_test_ind)
             logger.debug(
                 f"Ep {epoch:3d} | l: {loss:.4f} | s_l: {score_l:.4f} | "
                 f"s_val: {score_val:.4f} | s_tt: {score_test_tran:.4f} | "
                 f"s_ti: {score_test_ind:.4f}"
             )
-            loss_and_score.append([epoch, float(loss_l), loss_val,
-                                   score_l, score_val, score_test_tran,
-                                   score_test_ind])
+            loss_and_score.append([epoch, loss_l_ev, loss_val, loss_tt,
+                                   loss_ti, score_l, score_val,
+                                   score_test_tran, score_test_ind])
             tracker.update(epoch, score_val, state)
 
         if tracker.count == conf["patience"] or epoch == conf["max_epoch"]:

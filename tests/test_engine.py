@@ -207,3 +207,43 @@ def test_checkpoint_npz_fallback_roundtrip(tmp_path):
         tree["params"]["layers_0"]["kernel"], np.ones((3, 4)))
     np.testing.assert_array_equal(
         tree["batch_stats"]["norms_0"]["mean"], np.full((4,), 2.0))
+
+
+def test_distill_loss_and_score_rows_match_reference_layout(synth_small):
+    """loss_and_score rows must carry the reference field layout:
+    tran 7 fields (train_and_eval.py:581-583), ind 9 fields
+    (:702-714), with loss_l the EVAL-mode NLL on the hard-label set
+    (re-evaluated, not the dropout-affected training loss)."""
+    from glnn_tpu.train.engine import distill_run_inductive
+
+    g, labels, itr, iva, ite = synth_small
+    feats = g.ndata["feat"]
+    conf = _conf(model_name="MLP", dropout_ratio=0.5, hidden_dim=32,
+                 max_epoch=6, patience=10, lamb=0.3)
+    idx_t = np.concatenate([itr, iva, ite])
+    rows = []
+    distill_run_transductive(
+        conf, Model(conf), feats, labels, np.log(np.full(
+            (len(labels), int(labels.max()) + 1),
+            1.0 / (int(labels.max()) + 1), np.float32)),
+        (itr, idx_t, iva, ite), make_adam(0.01, 0.0), logger, rows,
+    )
+    assert rows and all(len(r) == 7 for r in rows)
+    # eval-mode loss_l: finite, positive NLL (training loss with
+    # dropout 0.5 on this config measurably differs — the pinned
+    # property is simply that a LOSS, not a score, sits in column 1
+    # and the row is the reference's 7-tuple)
+    assert all(r[1] > 0 and np.isfinite(r[1]) for r in rows)
+
+    indices = graph_split(itr, iva, ite, rate=0.2, seed=0)
+    obs_tr, obs_va, obs_te, idx_obs, idx_ind = indices
+    obs_idx_t = np.concatenate([obs_tr, obs_va, obs_te])
+    rows_ind = []
+    distill_run_inductive(
+        conf, Model(conf), feats, labels, np.log(np.full(
+            (len(labels), int(labels.max()) + 1),
+            1.0 / (int(labels.max()) + 1), np.float32)),
+        (obs_tr, obs_idx_t, obs_va, obs_te, idx_obs, idx_ind),
+        make_adam(0.01, 0.0), logger, rows_ind,
+    )
+    assert rows_ind and all(len(r) == 9 for r in rows_ind)
