@@ -15,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-from glnn_tpu.cli.common import (add_common_args,
+from glnn_tpu.cli.common import (add_common_args, teacher_output_dir,
                                  apply_output_path_reroutes,
                                  setup_compile_cache)
 from glnn_tpu.graph.datasets import load_data, load_out_t
@@ -57,6 +57,18 @@ def run(args):
     if args.device < 0:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    elif args.device > 0:
+        # honor the ordinal on multi-accelerator hosts (the reference
+        # maps device>=0 to cuda:{device}); out-of-range falls back to
+        # the default device with a warning rather than crashing on
+        # single-chip/tunneled environments
+        import jax
+        devs = jax.devices()
+        if args.device < len(devs):
+            jax.config.update("jax_default_device", devs[args.device])
+        else:
+            print(f"WARNING: --device {args.device} out of range "
+                  f"({len(devs)} device(s)); using the default device")
     if getattr(args, "ops_backend", "auto") != "auto":
         from glnn_tpu import ops
         ops.set_backend(args.ops_backend)
@@ -67,23 +79,16 @@ def run(args):
 
     apply_output_path_reroutes(args, is_student=True)
 
-    if args.exp_setting == "tran":
-        output_dir = Path.cwd().joinpath(
-            args.output_path, "transductive", args.dataset,
-            f"{args.teacher}_{args.student}", f"seed_{args.seed}")
-        out_t_dir = Path.cwd().joinpath(
-            args.out_t_path, "transductive", args.dataset, args.teacher,
-            f"seed_{args.seed}")
-    elif args.exp_setting == "ind":
-        output_dir = Path.cwd().joinpath(
-            args.output_path, "inductive", f"split_rate_{args.split_rate}",
-            args.dataset, f"{args.teacher}_{args.student}",
-            f"seed_{args.seed}")
-        out_t_dir = Path.cwd().joinpath(
-            args.out_t_path, "inductive", f"split_rate_{args.split_rate}",
-            args.dataset, args.teacher, f"seed_{args.seed}")
-    else:
-        raise ValueError(f"Unknown experiment setting! {args.exp_setting}")
+    # one path scheme, defined once in cli/common.py: the student's
+    # own dir is teacher_output_dir with the joint model name, and the
+    # teacher's out.npz dir is the same scheme rooted at --out_t_path
+    import copy as _copy
+
+    output_dir = teacher_output_dir(args,
+                                    f"{args.teacher}_{args.student}")
+    t_args = _copy.copy(args)
+    t_args.output_path = args.out_t_path
+    out_t_dir = teacher_output_dir(t_args, args.teacher)
     args.output_dir = output_dir
 
     check_writable(output_dir, overwrite=False)
@@ -132,13 +137,24 @@ def run(args):
 
     loss_and_score = []
     state_out = {} if args.save_results else None
-    G = g.to_device()
+    # the student is graph-free: only GA-prop (--feature_aug_k) and the
+    # min-cut diagnostic touch the device graph — build it lazily so a
+    # default products-scale distillation never ships the ~GB edge
+    # arrays to HBM
+    _G_cache = []
+
+    def G():
+        if not _G_cache:
+            _G_cache.append(g.to_device())
+        return _G_cache[0]
+
     if args.exp_setting == "tran":
         idx_l = idx_train
         idx_t = np.concatenate([idx_train, idx_val, idx_test])
         distill_indices = (idx_l, idx_t, idx_val, idx_test)
         if args.feature_aug_k > 0:
-            feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
+            feats = np.asarray(feature_prop(feats, G(),
+                                            args.feature_aug_k))
         out, score_val, score_test = distill_run_transductive(
             conf, model, feats, labels, out_t, distill_indices, optimizer,
             logger, loss_and_score, state_out=state_out,
@@ -157,7 +173,8 @@ def run(args):
             obs_G = obs_g.to_device()
             obs_feats = np.asarray(
                 feature_prop(feats[idx_obs], obs_G, args.feature_aug_k))
-            feats = np.asarray(feature_prop(feats, G, args.feature_aug_k))
+            feats = np.asarray(feature_prop(feats, G(),
+                                             args.feature_aug_k))
             feats[idx_obs] = obs_feats
         out, score_val, score_test_tran, score_test_ind = (
             distill_run_inductive(
@@ -181,7 +198,7 @@ def run(args):
                    state_out["params"], state_out["batch_stats"])
 
     if args.exp_setting == "tran" and args.compute_min_cut:
-        min_cut = float(compute_min_cut_loss(G, np.asarray(out)))
+        min_cut = float(compute_min_cut_loss(G(), np.asarray(out)))
         with open(output_dir.parent.joinpath("min_cut_loss"), "a+") as f:
             f.write(f"{min_cut :.4f}\n")
 

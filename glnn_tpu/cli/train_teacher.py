@@ -88,6 +88,18 @@ def run(args):
     if args.device < 0:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    elif args.device > 0:
+        # honor the ordinal on multi-accelerator hosts (the reference
+        # maps device>=0 to cuda:{device}); out-of-range falls back to
+        # the default device with a warning rather than crashing on
+        # single-chip/tunneled environments
+        import jax
+        devs = jax.devices()
+        if args.device < len(devs):
+            jax.config.update("jax_default_device", devs[args.device])
+        else:
+            print(f"WARNING: --device {args.device} out of range "
+                  f"({len(devs)} device(s)); using the default device")
     if getattr(args, "ops_backend", "auto") != "auto":
         from glnn_tpu import ops
         ops.set_backend(args.ops_backend)

@@ -117,7 +117,12 @@ class GCN(nn.Module):
         for l in range(self.num_layers):
             last = l == self.num_layers - 1
             out = self.output_dim if last else self.hidden_dim
-            h = GraphConv(out, activation=None if last else nn.relu)(g, h)
+            # reference quirk: the SINGLE layer of a 1-layer GCN keeps
+            # the activation (models.py:169-170 builds it with
+            # activation=F.relu); only multi-layer GCNs have a bare
+            # last layer
+            act = None if (last and self.num_layers > 1) else nn.relu
+            h = GraphConv(out, activation=act)(g, h)
             if not last:
                 h_list.append(h)
                 if self.norm_type != "none":

@@ -137,3 +137,28 @@ def test_model_substring_dispatch():
     assert Model(dict(conf, model_name="GA1MLP")).is_mlp
     assert isinstance(Model(dict(conf, model_name="GA1SAGE")).module, SAGE)
     assert isinstance(Model(dict(conf, model_name="GCN")).module, GCN)
+
+
+def test_single_layer_gcn_keeps_activation():
+    """Reference quirk: a 1-layer GCN is built with activation=relu on
+    its ONLY layer (models.py:169-170) — outputs are non-negative —
+    while multi-layer GCNs leave the last layer bare."""
+    import jax
+
+    from glnn_tpu.nn.models import Model
+
+    from glnn_tpu.graph.container import build_graph
+
+    rs = np.random.RandomState(3)
+    g = build_graph(rs.randint(0, 40, 200), rs.randint(0, 40, 200), 40)
+    x = jnp.asarray(rs.randn(40, 8).astype(np.float32))
+    m1 = Model(dict(model_name="GCN", num_layers=1, hidden_dim=16,
+                    label_dim=5, dropout_ratio=0.0, norm_type="none"))
+    v1 = m1.init(jax.random.PRNGKey(0), g, x)
+    out1 = np.asarray(m1.apply(v1, g, x, training=False)[1])
+    assert (out1 >= 0).all()          # relu applied
+    m2 = Model(dict(model_name="GCN", num_layers=2, hidden_dim=16,
+                    label_dim=5, dropout_ratio=0.0, norm_type="none"))
+    v2 = m2.init(jax.random.PRNGKey(0), g, x)
+    out2 = np.asarray(m2.apply(v2, g, x, training=False)[1])
+    assert (out2 < 0).any()           # last layer bare
