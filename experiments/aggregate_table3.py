@@ -58,7 +58,12 @@ def collect(outputs: Path):
     got = {}
     for f in sorted(outputs.glob("**/exp_results")):
         rel = f.relative_to(outputs).parts    # setting[/split]/ds/model
-        setting = "ind" if rel[0].startswith("ind") else "tran"
+        # ablation reroutes (noisy_features/noise_a/..., aug_features/)
+        # nest the setting one level deeper — keyed off rel[0] they
+        # would misclassify as 'tran' and shadow the main-table rows
+        if rel[0] in ("noisy_features", "aug_features"):
+            continue
+        setting = "ind" if any(p.startswith("ind") for p in rel) else "tran"
         ds, model_dir = rel[-3], rel[-2]
         model = "GLNN" if "_MLP" in model_dir else model_dir
         row = _last_row(f)

@@ -95,11 +95,19 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         choices=["floyd", "window"],
                         help="Neighbor-sampling gather tier: floyd = "
                              "DGL-exact element gathers; window = same "
-                             "Floyd offsets read through 2 consecutive "
-                             "64-wide edge-array rows per node (~2x "
-                             "fewer row-rate-bound touches; exact for "
-                             "degrees <= 65, heavy-tail nodes sample "
-                             "from their first edge window)")
+                             "Floyd offsets read through ONE aligned "
+                             "64-wide neighbor-table row per node "
+                             "(Graph.with_window_table; ~fanout/2 fewer "
+                             "row-rate-bound touches; exact for degrees "
+                             "<= 64, heavy-tail nodes sample from their "
+                             "first 64 edges)")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Activation compute dtype for the sampled "
+                             "SAGE teacher (bfloat16 halves the HBM "
+                             "traffic of the memory-bound frontier "
+                             "passes; parameters, norm statistics and "
+                             "losses stay float32)")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Unused on TPU (sampling is on-device); kept "
                              "for flag compatibility")

@@ -160,7 +160,9 @@ def run(args):
          unmap) = _locality_relabel(
             g, feats, labels, (idx_train, idx_val, idx_test), n_shards,
             logger)
-    G = g.to_device(build_plans=build_plans, softmax_plans=smx_plans)
+    G = g.to_device(build_plans=build_plans, softmax_plans=smx_plans,
+                    window_table=(conf.get("sampler_tier") == "window"
+                                  and not model.is_mlp))
 
     def _to_halo(host_g, want_plans):
         """Graph-partitioned halo view over the first n_shards devices
@@ -207,7 +209,10 @@ def run(args):
                        pos[np.asarray(obs_te)], idx_obs[order_obs], idx_ind)
         obs_g = g.subgraph(indices[3])
         obs_G = obs_g.to_device(build_plans=build_plans,
-                                softmax_plans=smx_plans)
+                                softmax_plans=smx_plans,
+                                window_table=(
+                                    conf.get("sampler_tier") == "window"
+                                    and not model.is_mlp))
         if args.feature_aug_k > 0:
             idx_obs = indices[3]
             obs_feats = np.asarray(

@@ -222,7 +222,8 @@ def make_dp_sampled_sage_epoch_fn(model, optimizer, batch_size: int,
         # window tier: materialize the reshaped edge table ONCE per
         # epoch, outside the per-batch scan (an O(E) pad/copy — same
         # hoist as train/sage_sampled.py)
-        snd2d = window_view(g) if sampler_tier == "window" else None
+        snd2d = (window_view(g)
+                 if sampler_tier == "window" and g.win1 is None else None)
 
         def shard_step(params, batch_stats, x_blk, seeds_blk, b_idx):
             x_blk = x_blk.reshape(rows, -1)

@@ -28,7 +28,7 @@ import numpy as np
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["senders", "receivers", "indptr", "edge_weight",
-                 "in_degrees", "out_degrees", "plans", "smx"],
+                 "in_degrees", "out_degrees", "plans", "smx", "win1"],
     meta_fields=["n_nodes", "n_edges"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -64,12 +64,18 @@ class Graph:
     # edge softmax + aggregation, ops/attention_plan.py); built on
     # request only.
     smx: object | None = None
+    # optional ALIGNED per-node neighbor window table int32[N+1, W]
+    # (with_window_table): row v carries v's first W in-neighbors
+    # (ghost-padded; row N is the all-ghost row). The window sampler
+    # tier then reads ONE aligned row per frontier node instead of two
+    # unaligned rows of the reshaped edge array — the r5 "aligned
+    # 1-touch windows" lever (PERF.md r4 decomposition).
+    win1: jax.Array | None = None
 
     def with_plans(self, tile: int = 512, block_rows: int = 512,
                    softmax: bool | None = None,
                    device: bool = True) -> "Graph":
-        from glnn_tpu.ops.attention_plan import (build_attention_plan,
-                                                 softmax_auto)
+        from glnn_tpu.ops.attention_plan import softmax_auto
         from glnn_tpu.ops.spmm_plan import plan_for_graph
 
         g = dataclasses.replace(self, plans=plan_for_graph(
@@ -82,20 +88,70 @@ class Graph:
             # only via one CLI branch)
             softmax = softmax_auto(self.n_edges)
         if softmax:
+            from glnn_tpu.ops.attention_plan import \
+                build_chunked_attention_plans
+
             host = getattr(self, "_host_edges", None)
             if host is not None:
                 snd, rec = host
             else:
                 rec = np.asarray(self.receivers)[: self.n_edges]
                 snd = np.asarray(self.senders)[: self.n_edges]
-            att = build_attention_plan(rec, snd, self.n_nodes,
-                                       device=device)
+            # beyond the single-plan slot budget this returns a TUPLE
+            # of block-range chunk plans (products-scale fused GAT —
+            # the attention analog of the chunked SpMM plans)
+            att = build_chunked_attention_plans(rec, snd, self.n_nodes,
+                                                device=device)
             if att is not None:      # None: mega-hub skew -> XLA tier
                 g = dataclasses.replace(g, smx=att)
         host = getattr(self, "_host_edges", None)
         if host is not None:         # keep the host edge cache alive
             object.__setattr__(g, "_host_edges", host)
         return g
+
+    def with_window_table(self, width: int = 64,
+                          device: bool = True) -> "Graph":
+        """Attach the aligned 1-touch neighbor window table for the
+        window sampler tier (sampling/sampler.py): win1[v] = v's first
+        `width` in-neighbors, ghost-padded; win1[N] is all-ghost.
+        Sampling reads ONE `width`-wide row per frontier node (256 B at
+        width=64 — safely inside the row-rate-bound gather regime) and
+        is bit-identical to the exact Floyd tier for deg <= width; the
+        heavier-node fold bias matches the 2-row window tier's,
+        documented there. Costs (N+1)*width*4 bytes of HBM (~627 MB at
+        ogbn-products scale)."""
+        host = getattr(self, "_host_edges", None)
+        if host is not None:
+            snd = host[0]
+        else:
+            snd = np.asarray(self.senders)[: self.n_edges]
+        indptr = (np.asarray(self.indptr) if host is None
+                  else self._host_indptr())
+        n = self.n_nodes
+        deg = (indptr[1 : n + 1] - indptr[:n]).astype(np.int64)
+        j = np.arange(width, dtype=np.int64)
+        idx = indptr[:n, None].astype(np.int64) + j[None, :]
+        valid = j[None, :] < np.minimum(deg, width)[:, None]
+        if len(snd) == 0:
+            tab = np.full((n, width), n, np.int32)
+        else:
+            idx_c = np.minimum(idx, len(snd) - 1)
+            tab = np.where(valid, snd[idx_c], n).astype(np.int32)
+        tab = np.concatenate([tab, np.full((1, width), n, np.int32)])
+        g = dataclasses.replace(
+            self, win1=jnp.asarray(tab) if device else tab)
+        if host is not None:
+            object.__setattr__(g, "_host_edges", host)
+        return g
+
+    def _host_indptr(self) -> np.ndarray:
+        """CSC indptr recomputed on host from the edge cache (avoids a
+        device->host fetch when the container is already on device)."""
+        _, rec = self._host_edges
+        counts = np.bincount(rec, minlength=self.n_nodes + 1)
+        indptr = np.zeros(self.n_nodes + 2, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return indptr
 
     @property
     def num_nodes(self) -> int:

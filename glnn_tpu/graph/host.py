@@ -119,7 +119,8 @@ class HostGraph:
     # -- device handoff ----------------------------------------------
     def to_device(self, pad_to: int | None = None,
                   build_plans: bool = False,
-                  softmax_plans: bool | None = None) -> Graph:
+                  softmax_plans: bool | None = None,
+                  window_table: bool = False) -> Graph:
         from glnn_tpu.ops.attention_plan import softmax_auto
 
         want_smx = (softmax_auto(self.num_edges())
@@ -141,6 +142,9 @@ class HostGraph:
             if want_smx and g.smx is None:
                 self._smx_declined = True
             self._device_graph = g
+        if window_table and self._device_graph.win1 is None:
+            # aligned 1-touch sampler table (--sampler_tier window)
+            self._device_graph = self._device_graph.with_window_table()
         return self._device_graph
 
 

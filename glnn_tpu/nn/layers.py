@@ -41,13 +41,24 @@ class SAGEConvGCN(nn.Module):
     """SAGEConv('gcn'). `data` is either a full Graph or a sampled
     block dict {nbr_local, valid, self_local} (glnn_tpu.sampling): on
     blocks the divisor is (#sampled real neighbors + 1), matching DGL's
-    block in-degree semantics on MFGs."""
+    block in-degree semantics on MFGs.
+
+    `dtype` (default None = float32) sets the COMPUTE dtype: with
+    bfloat16 the frontier activations, the neighbor reduce and the
+    dense matmul all run/stream in bf16 while parameters stay float32
+    — the memory-bound sampled-SAGE passes over the [4.3M, F] frontier
+    tensors halve their HBM traffic (PERF.md r4 decomposition; the r5
+    'bf16 frontier activations' lever)."""
 
     out_dim: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, data, x: jax.Array,
                  x_dst: Optional[jax.Array] = None) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            x_dst = None if x_dst is None else x_dst.astype(self.dtype)
         if not isinstance(data, dict):       # Graph or HaloGraph
             if x_dst is None:
                 x_dst = x
@@ -75,6 +86,7 @@ class SAGEConvGCN(nn.Module):
             self.out_dim,
             kernel_init=gi.xavier_uniform(math.sqrt(2.0)),
             bias_init=gi.torch_linear_bias(x.shape[-1]),
+            dtype=self.dtype,
         )(h)
 
 
@@ -181,24 +193,29 @@ class BatchNorm1d(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((f,), jnp.float32))
 
+        # statistics always in f32: a bf16 mean/variance over ~1M rows
+        # loses most of its mantissa (the bf16 compute-dtype tier casts
+        # activations down, not the running stats)
+        xs = x.astype(jnp.float32)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             if mask is None:
-                n = jnp.asarray(x.shape[0], x.dtype)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x - mean), axis=0)
+                n = jnp.asarray(x.shape[0], jnp.float32)
+                mean = jnp.mean(xs, axis=0)
+                var = jnp.mean(jnp.square(xs - mean), axis=0)
             else:
-                w = mask.astype(x.dtype)[:, None]
+                w = mask.astype(jnp.float32)[:, None]
                 n = jnp.maximum(jnp.sum(w), 1.0)
-                mean = jnp.sum(x * w, axis=0) / n
-                var = jnp.sum(w * jnp.square(x - mean), axis=0) / n
+                mean = jnp.sum(xs * w, axis=0) / n
+                var = jnp.sum(w * jnp.square(xs - mean), axis=0) / n
             unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        out = (xs - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return out.astype(x.dtype)
 
 
 class LayerNorm1d(nn.Module):

@@ -22,6 +22,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from glnn_tpu.graph.container import Graph
 from glnn_tpu.nn import initializers as gi
@@ -69,20 +70,26 @@ class SAGE(nn.Module):
     """Accepts a full Graph (full-neighbor forward) OR SampledBlocks
     from glnn_tpu.sampling (fanout-sampled minibatch forward, the
     reference's train_sage path). Parameters are shared between the
-    two paths — the modules are created in the same order."""
+    two paths — the modules are created in the same order.
+
+    `dtype` (conf key compute_dtype) sets the activation compute dtype;
+    bfloat16 halves the HBM traffic of the memory-bound frontier passes
+    on the sampled path (params, norm statistics and the loss stay
+    float32 — see SAGEConvGCN/BatchNorm1d)."""
 
     num_layers: int
     hidden_dim: int
     output_dim: int
     dropout_ratio: float
     norm_type: str = "none"
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, g, x: jax.Array, training: bool = False):
         from glnn_tpu.sampling.sampler import SampledBlocks
 
         blocks = isinstance(g, SampledBlocks)
-        h = x
+        h = x if self.dtype is None else x.astype(self.dtype)
         h_list = []
         for l in range(self.num_layers):
             out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
@@ -93,7 +100,7 @@ class SAGE(nn.Module):
                 mask = g.out_real[l]
             else:
                 data, mask = g, None
-            h = SAGEConvGCN(out)(data, h)
+            h = SAGEConvGCN(out, dtype=self.dtype)(data, h)
             if l != self.num_layers - 1:
                 h_list.append(h)
                 if self.norm_type != "none":
@@ -228,7 +235,11 @@ class Model:
         if "MLP" in name:
             self.module = MLP(norm_type=conf.get("norm_type", "none"), **kw)
         elif "SAGE" in name:
-            self.module = SAGE(norm_type=conf.get("norm_type", "none"), **kw)
+            cd = conf.get("compute_dtype") or "float32"
+            self.module = SAGE(
+                norm_type=conf.get("norm_type", "none"),
+                dtype=None if cd in ("float32", "f32") else jnp.dtype(cd),
+                **kw)
         elif "GCN" in name:
             self.module = GCN(norm_type=conf.get("norm_type", "none"), **kw)
         elif "GAT" in name:

@@ -56,7 +56,8 @@ from glnn_tpu.ops.spmm_plan import (SpmmPlan, build_block_plan,
     jax.tree_util.register_dataclass,
     data_fields=["src_idx", "slot_edge", "edge_slot", "rec_lane",
                  "rec_sub", "bwd"],
-    meta_fields=["x", "block_rows", "num_blocks", "e_orig", "n_nodes"],
+    meta_fields=["x", "block_rows", "num_blocks", "e_orig", "n_nodes",
+                 "row0", "e0"],
 )
 @dataclasses.dataclass(frozen=True)
 class AttentionPlan:
@@ -71,10 +72,30 @@ class AttentionPlan:
     num_blocks: int
     e_orig: int
     n_nodes: int
+    # chunked plans (build_chunked_attention_plans): first global output
+    # row / first global dst-sorted edge this chunk covers
+    row0: int = 0
+    e0: int = 0
 
     @property
     def slots(self) -> int:
         return self.num_blocks * self.x
+
+
+def _stable_sort_by(key: np.ndarray, n_keys: int) -> np.ndarray:
+    """Stable sort permutation by integer key in [0, n_keys) — native
+    O(E) counting sort when available (np.argsort costs ~1.3 s per
+    7.7M-edge shard at products scale, the r4 80.5 s att_plan_build_s;
+    VERDICT r4 task 4)."""
+    from glnn_tpu import native
+
+    if native.available():
+        k64 = native._c64(np.asarray(key, np.int64))
+        order = np.empty(k64.shape[0], np.int64)
+        native._load().sort_edges(k64.shape[0], native._p(k64),
+                                  int(n_keys), native._p(order))
+        return order
+    return np.argsort(key, kind="stable")
 
 
 SOFTMAX_AUTO_MAX_EDGES = 16_000_000
@@ -158,7 +179,7 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
 
     # backward reduce-over-source plan: receivers-role = source row,
     # gather-role = the edge's forward slot in the message buffer.
-    order = np.argsort(snd, kind="stable")
+    order = _stable_sort_by(snd, n_src)
     bwd = None
     if bwd_block_mode:        # stacked per-shard plans need uniform
         bwd = build_block_plan(   # geometry -> force the tiled builder
@@ -184,21 +205,131 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
     )
 
 
+# Slot budget per attention chunk: bounds the [slots, HDp] bf16 gather
+# buffer (4M slots x 256 lanes x 2B = 2 GiB), the same budget the SpMM
+# chunking uses (spmm_plan.MAX_SLOTS_PER_CHUNK).
+ATT_MAX_SLOTS = 4 * 1024 * 1024
+
+
+def build_chunked_attention_plans(receivers: np.ndarray,
+                                  senders: np.ndarray, n_nodes: int,
+                                  block_rows: int = 128,
+                                  x_max: int = X_MAX,
+                                  n_src: int | None = None,
+                                  max_slots: int = ATT_MAX_SLOTS,
+                                  device: bool = True):
+    """Plan dst-sorted (receivers, senders) for the fused attention
+    kernels as ONE AttentionPlan, or — when the slot count exceeds
+    ``max_slots`` — a TUPLE of chunk plans cut at dst-block boundaries
+    (VERDICT r4 weak #4: softmax_auto declined products-scale graphs
+    outright; the attention analog of spmm_plan.build_chunked_plans).
+
+    Chunks own disjoint contiguous block ranges; each records its first
+    global output row (`row0`) and first global dst-sorted edge (`e0`).
+    `slot_edge` / `edge_slot` / `e_orig` stay CHUNK-local — the
+    standalone chunked edge_softmax slices scores[e0 : e0 + e_orig] per
+    chunk and concatenates the per-chunk alphas (chunks partition the
+    dst-sorted edge list). Per-chunk X adapts to the chunk's own max
+    in-block count, so a hub-heavy region does not inflate the whole
+    graph's padding. Returns None when any block's in-edge count
+    exceeds ``x_max`` (mega-hub skew) — callers fall back to XLA."""
+    rec = np.asarray(receivers, np.int64)
+    snd = np.asarray(senders, np.int64)
+    if n_src is None:
+        n_src = n_nodes
+    n_edges = int(rec.shape[0])
+    if n_edges == 0:
+        return None
+    num_blocks = max(1, -(-n_nodes // block_rows))
+    counts = np.bincount(rec // block_rows, minlength=num_blocks)
+    if counts.max(initial=0) > x_max:
+        return None
+    x_of = np.maximum(-(-counts // 128) * 128, 128)
+
+    # single plan when the uniform-X slot count fits the budget
+    x_all = int(x_of.max())
+    if num_blocks * x_all <= max_slots:
+        return build_attention_plan(rec, snd, n_nodes,
+                                    block_rows=block_rows, x_max=x_max,
+                                    n_src=n_src, device=device)
+
+    # greedy block packing: close a chunk when (blocks so far) * (max X
+    # so far) would blow the budget
+    ranges = []
+    b0, x_cur = 0, 0
+    for b in range(num_blocks):
+        x_new = max(x_cur, int(x_of[b]))
+        if b > b0 and (b - b0 + 1) * x_new > max_slots:
+            ranges.append((b0, b))
+            b0, x_cur = b, int(x_of[b])
+        else:
+            x_cur = x_new
+    ranges.append((b0, num_blocks))
+
+    block_edge_end = np.cumsum(counts)
+    plans = []
+    for cb0, cb1 in ranges:
+        e0 = int(block_edge_end[cb0 - 1]) if cb0 else 0
+        e1 = int(block_edge_end[cb1 - 1])
+        rows_c = min(cb1 * block_rows, n_nodes) - cb0 * block_rows
+        sub = build_attention_plan(
+            rec[e0:e1] - cb0 * block_rows, snd[e0:e1], rows_c,
+            block_rows=block_rows, x_max=x_max, n_src=n_src,
+            device=False)
+        if sub is None:           # unreachable given the x_max pre-check
+            return None
+        sub = dataclasses.replace(sub, row0=cb0 * block_rows, e0=e0)
+        if device:
+            sub = dataclasses.replace(
+                sub, src_idx=jnp.asarray(sub.src_idx),
+                slot_edge=jnp.asarray(sub.slot_edge),
+                edge_slot=jnp.asarray(sub.edge_slot),
+                rec_lane=jnp.asarray(sub.rec_lane),
+                rec_sub=jnp.asarray(sub.rec_sub),
+                bwd=plan_to_device(sub.bwd))
+        plans.append(sub)
+    return tuple(plans)
+
+
 # --------------------------------------------------------------------
 # per-shard stacking (halo tier): data fields gain a leading [P] axis
 # so shard_map can hand each shard its own plan slice
 # --------------------------------------------------------------------
 
 
-def stack_attention_plans(plans: list) -> AttentionPlan:
+def _pad_tiles_np(p: SpmmPlan, num_tiles: int, n_src: int) -> SpmmPlan:
+    """Numpy twin of spmm_plan.pad_plan_tiles (the jnp version shipped
+    each intermediate through the device and dominated the r4 80.5 s
+    halo att-plan build)."""
+    extra = num_tiles - p.num_tiles
+    if extra <= 0:
+        return p
+    t = p.tile
+    src_idx = np.concatenate(
+        [np.asarray(p.src_idx), np.full(extra * t, n_src, np.int32)])
+    edge_perm = np.concatenate(
+        [np.asarray(p.edge_perm), np.full(extra * t, p.e_orig, np.int32)])
+    rec_local = np.concatenate(
+        [np.asarray(p.rec_local),
+         np.full((extra, t), p.block_rows, np.int32)], axis=0)
+    bid = np.asarray(p.block_id)
+    last = bid[-1] if p.num_tiles else np.int32(0)
+    block_id = np.concatenate([bid, np.full(extra, last, np.int32)])
+    return dataclasses.replace(p, src_idx=src_idx, edge_perm=edge_perm,
+                               rec_local=rec_local, block_id=block_id,
+                               num_tiles=num_tiles)
+
+
+def stack_attention_plans(plans: list, device: bool = True
+                          ) -> AttentionPlan:
     """Stack per-shard AttentionPlans built with identical geometry
     (same block_rows, num_blocks, x — use build_attention_plan's
     x_slots to force a common X) on a leading shard axis. Per-shard
     edge counts differ: edge_slot pads to the max with the ghost slot
     id; the bwd plans must share tiled geometry (build with
-    bwd_block_mode=False) and get tile-padded to the max."""
-    from glnn_tpu.ops.spmm_plan import pad_plan_tiles
-
+    bwd_block_mode=False) and get tile-padded to the max. All padding
+    and stacking happens in numpy; `device=True` converts the stacked
+    arrays once at the end."""
     p0 = plans[0]
     assert all((p.x, p.block_rows, p.num_blocks, p.bwd.tile,
                 p.bwd.block_rows, p.bwd.num_blocks,
@@ -214,26 +345,25 @@ def stack_attention_plans(plans: list) -> AttentionPlan:
         return np.pad(es, (0, e_max - es.shape[0]),
                       constant_values=slots)
 
+    arr = jnp.asarray if device else np.ascontiguousarray
     nt = max(p.bwd.num_tiles for p in plans)
-    bwds = [pad_plan_tiles(plan_to_device(p.bwd), nt, n_src=slots)
-            for p in plans]
+    bwds = [_pad_tiles_np(p.bwd, nt, n_src=slots) for p in plans]
     bwd = SpmmPlan(
-        src_idx=jnp.stack([b.src_idx for b in bwds]),
-        edge_perm=jnp.stack([b.edge_perm for b in bwds]),
-        rec_local=jnp.stack([b.rec_local for b in bwds]),
-        block_id=jnp.stack([b.block_id for b in bwds]),
+        src_idx=arr(np.stack([np.asarray(b.src_idx) for b in bwds])),
+        edge_perm=arr(np.stack([np.asarray(b.edge_perm) for b in bwds])),
+        rec_local=arr(np.stack([np.asarray(b.rec_local) for b in bwds])),
+        block_id=arr(np.stack([np.asarray(b.block_id) for b in bwds])),
         tile=p0.bwd.tile, block_rows=p0.bwd.block_rows,
         num_blocks=p0.bwd.num_blocks, num_tiles=nt,
         e_orig=max(b.e_orig for b in bwds),
         tiles_per_block=p0.bwd.tiles_per_block,
     )
     return AttentionPlan(
-        src_idx=jnp.stack([jnp.asarray(p.src_idx) for p in plans]),
-        slot_edge=jnp.stack([jnp.asarray(p.slot_edge) for p in plans]),
-        edge_slot=jnp.stack([jnp.asarray(pad_edge_slot(p))
-                             for p in plans]),
-        rec_lane=jnp.stack([jnp.asarray(p.rec_lane) for p in plans]),
-        rec_sub=jnp.stack([jnp.asarray(p.rec_sub) for p in plans]),
+        src_idx=arr(np.stack([np.asarray(p.src_idx) for p in plans])),
+        slot_edge=arr(np.stack([np.asarray(p.slot_edge) for p in plans])),
+        edge_slot=arr(np.stack([pad_edge_slot(p) for p in plans])),
+        rec_lane=arr(np.stack([np.asarray(p.rec_lane) for p in plans])),
+        rec_sub=arr(np.stack([np.asarray(p.rec_sub) for p in plans])),
         bwd=bwd,
         x=p0.x, block_rows=p0.block_rows, num_blocks=p0.num_blocks,
         e_orig=e_max, n_nodes=p0.n_nodes,

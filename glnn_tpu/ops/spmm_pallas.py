@@ -197,6 +197,22 @@ def _ghost_extend(x: jax.Array) -> jax.Array:
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
 
+def _take_clip(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather with mode="clip" for gathers that feed Pallas kernels.
+
+    The jnp.take default (fill) lowers to gather + a FULL select_n pass
+    over the gathered tensor; when the consumer is a custom call
+    (pallas_call) that select cannot fuse and materializes — measured
+    ~4 ms per slot-space gather at arxiv scale (r5 trace,
+    tools/trace_report.py). Plan sentinel indices (ghost slot = n_src /
+    e_orig) clamp to the last real row instead of reading an appended
+    zero row; every such slot's contribution is already zeroed by the
+    kernel's one-hot (rec_local = block_rows matches no output row), so
+    the gathered VALUE is irrelevant for finite inputs — and it also
+    removes the O(table) ghost-row concatenate copy each call paid."""
+    return jnp.take(table, idx, axis=0, mode="clip")
+
+
 def _chunks(plan):
     """A plan is either one SpmmPlan or a tuple of block-range chunk
     plans (ops/spmm_plan.py build_chunked_plans — products-scale
@@ -227,7 +243,7 @@ def _gather_messages(plan: SpmmPlan, x: jax.Array) -> jax.Array:
     # bf16 copy once with a cheap sequential pass.
     if x.dtype == jnp.float32:
         x = x.astype(_MESSAGE_DTYPE)
-    return jnp.take(_ghost_extend(x), plan.src_idx, axis=0)
+    return _take_clip(x, plan.src_idx)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -277,10 +293,8 @@ def _gather_weighted(plan: SpmmPlan, x: jax.Array, w: jax.Array
     """
     n = x.shape[0]
     x2 = x.reshape(n, -1)
-    m = jnp.take(_ghost_extend(x2), plan.src_idx, axis=0)
-    w_ext = jnp.concatenate(
-        [w, jnp.zeros((1,) + w.shape[1:], w.dtype)], axis=0)
-    ws = jnp.take(w_ext, plan.edge_perm, axis=0)   # [slots] or [slots, H]
+    m = _take_clip(x2, plan.src_idx)
+    ws = _take_clip(w, plan.edge_perm)             # [slots] or [slots, H]
     if w.ndim == 2:
         h = w.shape[1]
         d = x.shape[-1]
@@ -391,10 +405,8 @@ def _quantize_cols(x: jax.Array):
 def _spmm_int8(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan, x: jax.Array,
                n_nodes: int) -> jax.Array:
     q, s = _quantize_cols(x)
-    q_ext = jnp.concatenate([q, jnp.zeros((1, q.shape[1]), jnp.int8)],
-                            axis=0)
     out = _reduce_chunks(
-        plan_fwd, lambda p: jnp.take(q_ext, p.src_idx, axis=0), n_nodes)
+        plan_fwd, lambda p: _take_clip(q, p.src_idx), n_nodes)
     return (out.astype(jnp.float32) * s[None, :]).astype(x.dtype)
 
 

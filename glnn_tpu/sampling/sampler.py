@@ -94,6 +94,10 @@ WIN = 64
 WIN_ROWS = 2
 # any start alignment guarantees exact coverage of degrees <= this
 WINDOW_EXACT_DEG = WIN * (WIN_ROWS - 1) + 1
+# aligned 1-touch tier (Graph.with_window_table): ONE WIN-wide row per
+# node, exact for deg <= WIN (the r5 lever from PERF.md r4's batch
+# decomposition — halves the sampler's row-gather touches again)
+WINDOW1_EXACT_DEG = WIN
 
 
 def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
@@ -148,10 +152,15 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
     valid = jnp.where(take_all, j < deg[:, None], deg[:, None] > 0)
 
     if method == "window":
-        nbr = _window_read(g, start, deg, off, snd2d)
+        if g.win1 is not None:
+            nbr = _window1_read(g, f_safe, deg, off)
+        else:
+            nbr = _window_read(g, start, deg, off, snd2d)
     else:
         edge_idx = start[:, None] + off
-        nbr = jnp.take(g.senders, edge_idx)        # senders == in-neighbors
+        # clip mode: in-bounds for real slots (off < deg); take-all
+        # slots past deg clamp harmlessly and are masked by `valid`
+        nbr = jnp.take(g.senders, edge_idx, mode="clip")
     nbr = jnp.where(valid, nbr, n)
     return nbr.astype(jnp.int32), valid
 
@@ -167,6 +176,19 @@ def window_view(g: Graph) -> jax.Array:
                    constant_values=g.n_nodes).reshape(rows_total, WIN)
 
 
+def _select_lanes(win: jax.Array, lane: jax.Array) -> jax.Array:
+    """out[c, k] = win[c, lane[c, k]] as ONE fused one-hot
+    broadcast-reduce. Lane-axis dynamic gathers (take_along_axis) lower
+    to per-element relayouts on TPU (measured r4: they ate the whole
+    window win); r4 shipped K separate [C, W] mask+sum passes instead,
+    whose unrolled HLO drove the products-scale epoch compile to 164 s
+    (VERDICT r4 weak #2). The single [C, K, W] masked reduce keeps the
+    same VPU work and ONE win read in one fusion — O(1) HLO per hop."""
+    m = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, win.shape[1]), 2)
+         == lane[:, :, None])                       # [C, K, W]
+    return jnp.sum(jnp.where(m, win[:, None, :], 0), axis=2)
+
+
 def _window_read(g: Graph, start: jax.Array, deg: jax.Array,
                  off: jax.Array,
                  snd2d: jax.Array | None = None) -> jax.Array:
@@ -177,7 +199,8 @@ def _window_read(g: Graph, start: jax.Array, deg: jax.Array,
     row0 = start // WIN                              # [C]
     c = start.shape[0]
     rows = row0[:, None] + jnp.arange(WIN_ROWS, dtype=row0.dtype)[None, :]
-    win = jnp.take(snd2d, rows.reshape(-1), axis=0).reshape(
+    win = jnp.take(snd2d, rows.reshape(-1), axis=0,
+                   mode="clip").reshape(
         c, WIN_ROWS * WIN)
     s0 = start % WIN                                 # [C]
     # fold oversized offsets onto the node's OWN in-window edge range
@@ -189,16 +212,22 @@ def _window_read(g: Graph, start: jax.Array, deg: jax.Array,
     # repro; tests/test_sampling.py pins own-neighbor membership now.
     cap = jnp.maximum(jnp.minimum(deg, WIN_ROWS * WIN - s0), 1)
     lane = s0[:, None] + off % cap[:, None]          # [C, K]
-    # in-lane selection via K one-hot mask reductions: lane-axis
-    # dynamic gathers (take_along_axis) lower to per-element relayouts
-    # on TPU (measured: they ate the whole window win); K elementwise
-    # [C, 128] mask+sum passes stay on the VPU
-    lanes = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
-    cols = []
-    for j in range(off.shape[1]):
-        m = lanes == lane[:, j:j + 1]
-        cols.append(jnp.sum(jnp.where(m, win, 0), axis=1))
-    return jnp.stack(cols, axis=1)
+    return _select_lanes(win, lane)
+
+
+def _window1_read(g: Graph, f_safe: jax.Array, deg: jax.Array,
+                  off: jax.Array) -> jax.Array:
+    """Aligned 1-touch tier: node v's window IS row v of g.win1
+    (Graph.with_window_table), so each frontier node costs ONE aligned
+    row gather and the start offset is always 0. Bit-identical to the
+    Floyd tier for deg <= WIN; heavier nodes fold their offsets onto
+    their first WIN edges (same documented bias as the 2-row tier,
+    with the exact-degree bound at 64 instead of 65)."""
+    w = g.win1.shape[1]
+    win = jnp.take(g.win1, f_safe, axis=0, mode="clip")           # [C, W]
+    cap = jnp.clip(deg, 1, w)
+    lane = off % cap[:, None]                        # [C, K]
+    return _select_lanes(win, lane)
 
 
 def sample_blocks(g: Graph, seeds: jax.Array, fanouts: Sequence[int],

@@ -36,6 +36,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from functools import partial
 
 from glnn_tpu.train.losses import (
     accuracy,
@@ -67,10 +68,16 @@ def _split_apply(model, params, batch_stats, g, feats, rng):
     return out[1], {}
 
 
-def make_gnn_train_step(model, optimizer, lamb: float = 1.0):
-    """Full-batch GNN step: NLL on idx_train, Adam update."""
+def make_gnn_train_step(model, optimizer, lamb: float = 1.0,
+                        donate: bool = False):
+    """Full-batch GNN step: NLL on idx_train, Adam update.
 
-    @jax.jit
+    `donate=True` donates the input state's buffers to the outputs
+    (params/opt_state update in place on device) — callers must then
+    ALWAYS feed the returned state forward and never reuse the old one
+    (the epoch loops do; bench.py's step loops opt in)."""
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, g, feats, labels, idx_train, rng):
         def loss_fn(params):
             h, new_bs = _split_apply(model, params, state.batch_stats, g,

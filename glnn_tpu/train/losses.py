@@ -17,7 +17,10 @@ import jax.numpy as jnp
 
 
 def log_softmax(logits: jax.Array) -> jax.Array:
-    return jax.nn.log_softmax(logits, axis=-1)
+    # always f32: reduced-precision compute tiers (SAGE compute_dtype
+    # bfloat16) emit bf16 logits, but losses and the out.npz log-prob
+    # contract stay full precision
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def nll_loss(log_probs: jax.Array, labels: jax.Array) -> jax.Array:

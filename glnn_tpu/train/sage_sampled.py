@@ -43,9 +43,20 @@ def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
 
         x_ext = jnp.concatenate(
             [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0)
+        # bf16 compute tier (conf compute_dtype): cast BEFORE the scan
+        # so the frontier gather inside each batch EMITS bf16 rows —
+        # the gather is row-rate-bound either way, but its materialized
+        # [frontier, F] output (and every conv pass over it) halves its
+        # HBM traffic
+        mdtype = getattr(getattr(model, "module", None), "dtype", None)
+        if mdtype is not None:
+            x_ext = x_ext.astype(mdtype)
         # window tier: materialize the reshaped edge table ONCE per
-        # epoch, outside the batch scan (an O(E) pad/copy)
-        snd2d = window_view(g) if sampler_tier == "window" else None
+        # epoch, outside the batch scan (an O(E) pad/copy). Graphs
+        # carrying the aligned 1-touch table (with_window_table) skip
+        # it — the sampler reads g.win1 rows directly.
+        snd2d = (window_view(g)
+                 if sampler_tier == "window" and g.win1 is None else None)
         labels_ext = jnp.concatenate(
             [labels, jnp.zeros((1,), labels.dtype)], axis=0)
 
@@ -56,8 +67,9 @@ def make_sage_sampled_epoch_fn(model, optimizer, batch_size: int,
             blocks = sample_blocks(g, seeds, fanouts,
                                    jax.random.fold_in(samp_rng, b_idx),
                                    method=sampler_tier, snd2d=snd2d)
-            x_in = jnp.take(x_ext, blocks.input_nodes, axis=0)
-            y = jnp.take(labels_ext, seeds)
+            x_in = jnp.take(x_ext, blocks.input_nodes, axis=0,
+                            mode="clip")
+            y = jnp.take(labels_ext, seeds, mode="clip")
             mask = (seeds < n).astype(jnp.float32)
 
             def loss_fn(p):

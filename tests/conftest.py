@@ -10,7 +10,11 @@ import jax
 
 # The axon TPU plugin registers itself via sitecustomize and overrides
 # JAX_PLATFORMS; the config update below wins if applied before first use.
-jax.config.update("jax_platforms", "cpu")
+# GLNN_TESTS_TPU=1 keeps the real TPU backend instead, for the few
+# hardware-gated tests (in-kernel PRNG dropout) that interpret mode
+# cannot execute: `GLNN_TESTS_TPU=1 pytest tests/test_tpu_hw.py`.
+if not os.environ.get("GLNN_TESTS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

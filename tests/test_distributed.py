@@ -445,12 +445,19 @@ def test_fused_halo_gat_attention_matches_single_device(mesh8):
     ar = jnp.asarray(rs.randn(h, d).astype(np.float32) * 0.3)
 
     def ref(f, a, b):
-        el = jnp.sum(f * a[None], -1)
+        # src-path bf16 rounding mirrors the fused kernel (see
+        # tests/test_pallas.py grads test): the r5 backward recomputes
+        # from the forward's SAVED bf16 slots, so its gradient is exact
+        # for THIS function; vs the pure-f32 compose, kink-crossing
+        # edges differ by up to ~7% (bf16-forward property)
+        fr = f.astype(jnp.bfloat16).astype(jnp.float32)
+        el = jnp.sum(fr * a.astype(jnp.bfloat16).astype(jnp.float32)[None],
+                     -1)
         er = jnp.sum(f * b[None], -1)
         s = refops.u_add_v(g, el, er)
         s = jnp.where(s >= 0, s, 0.2 * s)
         alpha = refops.edge_softmax(g, s)
-        return refops.u_mul_e_sum(g, f, alpha)
+        return refops.u_mul_e_sum(g, fr, alpha)
 
     pad = hg.n_pad - n
     feat_p = jnp.pad(feat, ((0, pad), (0, 0), (0, 0)))
@@ -495,3 +502,105 @@ def test_fused_halo_gat_attention_dropout_deterministic(mesh8):
     assert (o1 == o2).all()
     o3 = np.asarray(halo_gat_attention(hg, feat, al, ar, fused=True))
     assert np.abs(o1 - o3).max() > 1e-4     # dropout actually applied
+
+
+# --------------------------------------------------------------------
+# r5: planned (slot-space kernel) tiers of halo_edge_softmax /
+# halo_u_mul_e_sum — sharded APPNP / GAT per-op fallback no longer
+# drop to XLA segment ops when attention plans are present
+# --------------------------------------------------------------------
+
+
+def _att_setup(mesh, n=203, e=1500, seed=3):
+    rs = np.random.RandomState(seed)
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    g = build_graph(src, dst, n)
+    hg = build_halo_graph(src, dst, n, mesh, attention_plans=True)
+    assert hg.att is not None and hg.att_maps is not None
+    return g, hg
+
+
+def _force_pallas():
+    from glnn_tpu import ops
+
+    ops.set_backend("pallas")
+    return ops
+
+
+def test_planned_halo_edge_softmax_matches_xla_tier(mesh8):
+    from glnn_tpu.distributed.halo import halo_edge_softmax
+
+    g, hg = _att_setup(mesh8)
+    rs = np.random.RandomState(5)
+    et = hg.e_local + hg.e_halo
+    scores = jnp.asarray(rs.randn(hg.n_shards * et, 3).astype(np.float32))
+    want = np.asarray(halo_edge_softmax(hg, scores))     # XLA tier (auto/cpu)
+    ops = _force_pallas()
+    try:
+        got = np.asarray(jax.jit(
+            lambda s: halo_edge_softmax(hg, s))(scores))
+        # grads too
+        def loss(fn, s):
+            return jnp.sum(jnp.cos(fn(hg, s)))
+        d_got = np.asarray(jax.grad(
+            lambda s: loss(halo_edge_softmax, s))(scores))
+    finally:
+        ops.set_backend("auto")
+    d_want = np.asarray(jax.grad(
+        lambda s: jnp.sum(jnp.cos(halo_edge_softmax(hg, s))))(scores))
+    # ghost edges: the XLA tier computes softmax over ghost segments
+    # too (dst=rows ghost row) while the planned tier zeroes them; only
+    # compare real-edge entries
+    real = np.zeros(hg.n_shards * et, bool)
+    lc = np.asarray((hg.local_dst < hg.rows_per_shard).sum(axis=1))
+    hc = np.asarray((hg.halo_dst < hg.rows_per_shard).sum(axis=1))
+    for p in range(hg.n_shards):
+        real[p * et: p * et + lc[p]] = True
+        real[p * et + hg.e_local: p * et + hg.e_local + hc[p]] = True
+    np.testing.assert_allclose(got[real], want[real], rtol=5e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(d_got[real], d_want[real], rtol=5e-4,
+                               atol=1e-5)
+
+
+def test_planned_halo_u_mul_e_sum_matches_xla_tier(mesh8):
+    from glnn_tpu.distributed.halo import halo_u_mul_e_sum
+
+    g, hg = _att_setup(mesh8)
+    rs = np.random.RandomState(7)
+    et = hg.e_local + hg.e_halo
+    n_pad = hg.n_pad
+    for shape_x, shape_e in [((n_pad, 16), (hg.n_shards * et,)),
+                             ((n_pad, 2, 8), (hg.n_shards * et, 2))]:
+        x = jnp.asarray(rs.randn(*shape_x).astype(np.float32))
+        e = jnp.asarray(rs.rand(*shape_e).astype(np.float32))
+        want = np.asarray(halo_u_mul_e_sum(hg, x, e))
+        ops = _force_pallas()
+        try:
+            got = np.asarray(jax.jit(
+                lambda a, b: halo_u_mul_e_sum(hg, a, b))(x, e))
+            co = jnp.asarray(rs.randn(*want.shape).astype(np.float32))
+            gx_p, ge_p = jax.grad(
+                lambda a, b: (halo_u_mul_e_sum(hg, a, b) * co).sum(),
+                argnums=(0, 1))(x, e)
+        finally:
+            ops.set_backend("auto")
+        scale = np.abs(want).max() + 1e-6
+        np.testing.assert_allclose(got, want, rtol=2e-2,
+                                   atol=scale * 1e-2)
+        gx_r, ge_r = jax.grad(
+            lambda a, b: (halo_u_mul_e_sum(hg, a, b) * co).sum(),
+            argnums=(0, 1))(x, e)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   rtol=2e-2, atol=5e-2)
+        # real edges only: ghost-edge weight cotangents are zeroed by
+        # the planned tier (the XLA tier leaks ghost-segment values)
+        lc = np.asarray((hg.local_dst < hg.rows_per_shard).sum(axis=1))
+        hc = np.asarray((hg.halo_dst < hg.rows_per_shard).sum(axis=1))
+        real = np.zeros(hg.n_shards * et, bool)
+        for p in range(hg.n_shards):
+            real[p * et: p * et + lc[p]] = True
+            real[p * et + hg.e_local: p * et + hg.e_local + hc[p]] = True
+        np.testing.assert_allclose(np.asarray(ge_p)[real],
+                                   np.asarray(ge_r)[real],
+                                   rtol=2e-2, atol=5e-2)

@@ -452,22 +452,41 @@ def test_fused_gat_attention_matches_refops():
 
 
 def test_fused_gat_attention_grads_match_refops():
+    """The r5 backward re-reads the forward's SAVED bf16 slot features
+    (no f32 re-gather), so the kernel computes the exact gradient of
+    the function the forward actually evaluated: el and the messages
+    see bf16-rounded (feat, attn_l), er stays f32. The oracle here
+    mirrors that rounding — against it the grads match to ~0.5%; the
+    pure-f32 oracle differs by up to ~7% at edges whose score crosses
+    the leaky_relu kink under bf16 rounding (the branch genuinely
+    flips), which is a property of the bf16 FORWARD, not a backward
+    bug."""
     from glnn_tpu.ops import gat_pallas as gp
 
     g = _smx_graph(e=1800)
     feat, al, ar = _att_inputs(g, h=2, d=8, seed=7)
 
+    def ref_rounded(g, feat, al, ar, slope=0.2):
+        fr = feat.astype(jnp.bfloat16).astype(jnp.float32)
+        alr = al.astype(jnp.bfloat16).astype(jnp.float32)
+        el = jnp.sum(fr * alr[None], -1)
+        er = jnp.sum(feat * ar[None], -1)
+        e = refops.u_add_v(g, el, er)
+        e = jnp.where(e >= 0, e, slope * e)
+        alpha = refops.edge_softmax(g, e)
+        return refops.u_mul_e_sum(g, fr, alpha)
+
     def loss(fn, f, a, b):
         return jnp.sum(jnp.sin(fn(g, f, a, b)))
 
-    gw = jax.grad(lambda f, a, b: loss(_ref_attention, f, a, b),
+    gw = jax.grad(lambda f, a, b: loss(ref_rounded, f, a, b),
                   argnums=(0, 1, 2))(feat, al, ar)
     gg = jax.grad(lambda f, a, b: loss(gp.gat_attention, f, a, b),
                   argnums=(0, 1, 2))(feat, al, ar)
     for got, want in zip(gg, gw):
         got, want = np.asarray(got), np.asarray(want)
         scale = np.abs(want).max() + 1e-6
-        assert np.abs(got - want).max() / scale < 3e-2
+        assert np.abs(got - want).max() / scale < 1e-2
 
 
 def test_fused_gat_attention_dropout_matches_masked_ref():
@@ -645,3 +664,97 @@ def test_fused_gat_model_on_padded_graph_matches_unpadded():
     finally:
         gops.set_backend("auto")
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------
+# chunked attention plans (r5: products-scale fused GAT)
+# --------------------------------------------------------------------
+
+
+def _chunked_smx_graph(n=300, e=2500, seed=4, max_slots=512):
+    import dataclasses
+
+    from glnn_tpu.ops.attention_plan import build_chunked_attention_plans
+
+    g = _graph(n=n, e=e, seed=seed).with_plans()
+    snd, rec = g._host_edges
+    plans = build_chunked_attention_plans(rec, snd, n,
+                                          max_slots=max_slots)
+    assert isinstance(plans, tuple) and len(plans) > 1
+    return dataclasses.replace(g, smx=plans), plans
+
+
+def test_chunked_attention_matches_single_plan():
+    from glnn_tpu.ops import gat_pallas as gp
+
+    g1 = _smx_graph()
+    gc, plans = _chunked_smx_graph()
+    # chunks partition the edge list at block boundaries
+    assert plans[0].e0 == 0 and plans[0].row0 == 0
+    ends = [p.e0 + p.e_orig for p in plans]
+    assert ends[-1] == g1.n_edges
+    assert all(plans[i + 1].e0 == ends[i] for i in range(len(plans) - 1))
+
+    feat, al, ar = _att_inputs(g1)
+    want = np.asarray(gp.gat_attention(g1, feat, al, ar))
+    got = np.asarray(gp.gat_attention(gc, feat, al, ar))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=scale * 1e-3)
+
+
+def test_chunked_attention_grads_match_single_plan():
+    from glnn_tpu.ops import gat_pallas as gp
+
+    g1 = _smx_graph()
+    gc, _ = _chunked_smx_graph()
+    feat, al, ar = _att_inputs(g1, h=2, d=8, seed=7)
+
+    def loss(gg, f, a, b):
+        return jnp.sum(jnp.sin(gp.gat_attention(gg, f, a, b)))
+
+    gw = jax.grad(lambda f, a, b: loss(g1, f, a, b),
+                  argnums=(0, 1, 2))(feat, al, ar)
+    gg_ = jax.grad(lambda f, a, b: loss(gc, f, a, b),
+                   argnums=(0, 1, 2))(feat, al, ar)
+    for got, want in zip(gg_, gw):
+        got, want = np.asarray(got), np.asarray(want)
+        scale = np.abs(want).max() + 1e-6
+        assert np.abs(got - want).max() / scale < 5e-3
+
+
+def test_chunked_edge_softmax_matches_single_plan():
+    from glnn_tpu.ops import gat_pallas as gp
+
+    g1 = _smx_graph()
+    gc, _ = _chunked_smx_graph()
+    scores = jax.random.normal(jax.random.PRNGKey(3), (g1.e_pad, 3))
+    want = np.asarray(gp.edge_softmax(g1, scores))
+    got = np.asarray(gp.edge_softmax(gc, scores))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # grads through the chunked tier
+    d_want = np.asarray(jax.grad(
+        lambda s: jnp.sum(jnp.cos(gp.edge_softmax(g1, s))))(scores))
+    d_got = np.asarray(jax.grad(
+        lambda s: jnp.sum(jnp.cos(gp.edge_softmax(gc, s))))(scores))
+    np.testing.assert_allclose(d_got, d_want, rtol=1e-4, atol=1e-6)
+
+
+def test_chunked_attention_dropout_deterministic():
+    from glnn_tpu.ops import gat_pallas as gp
+
+    gc, _ = _chunked_smx_graph()
+    feat, al, ar = _att_inputs(gc)
+    rng = jax.random.PRNGKey(11)
+    a = np.asarray(gp.gat_attention(gc, feat, al, ar, drop_rate=0.5,
+                                    drop_rng=rng))
+    b = np.asarray(gp.gat_attention(gc, feat, al, ar, drop_rate=0.5,
+                                    drop_rng=rng))
+    assert (a == b).all()
+    c = np.asarray(gp.gat_attention(gc, feat, al, ar, drop_rate=0.5,
+                                    drop_rng=jax.random.PRNGKey(12)))
+    assert (a != c).any()
+    # grads deterministic: the backward refolds the same per-chunk keys
+    gfn = jax.grad(lambda f: jnp.sum(gp.gat_attention(
+        gc, f, al, ar, drop_rate=0.5, drop_rng=rng)))
+    ga, gb = np.asarray(gfn(feat)), np.asarray(gfn(feat))
+    assert (ga == gb).all()
