@@ -3,13 +3,15 @@
 Tiers (same API, parity-tested against each other):
   a) refops — XLA segment primitives (CPU-runnable oracle)
   b) pallas — MXU one-hot-matmul SpMM (ops/spmm_pallas.py; block-mode
-     kernel since r3); selected automatically on TPU for graphs
-     carrying SpmmPlans (to_device(build_plans=True)), ~3x the XLA
-     tier on v5e (155.3M edges/s arxiv-scale, driver-verified
-     BENCH_r03). Graphs carrying an AttentionPlan additionally get the
-     fused slot-space attention (ops/gat_pallas.py, r4): edge_softmax
-     and the whole `gat_attention` layer run as single kernels (GAT
-     step 1235 -> 192 ms). Inside `inference_mode()` traces
+     kernel since r3, clip-mode gathers since r5); selected
+     automatically on TPU for graphs carrying SpmmPlans
+     (to_device(build_plans=True)), ~4.3x the XLA tier on v5e (223.9M
+     edges/s arxiv-scale = 0.98 of the measured gather
+     speed-of-light, r5). Graphs carrying an AttentionPlan (or a tuple
+     of chunked plans at products scale, r5) additionally get the
+     fused slot-space attention (ops/gat_pallas.py): edge_softmax and
+     the whole `gat_attention` layer run as single kernels (GAT step
+     1235 -> 188.7 -> ~103 ms). Inside `inference_mode()` traces
      (make_eval_fn / Model.inference) unweighted aggregations default
      to the int8 gather tier — see set_eval_quant.
   c) sharded — shard_map + halo exchange (distributed/), including the

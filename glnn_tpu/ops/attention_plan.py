@@ -126,6 +126,7 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
                          x_max: int = X_MAX, n_src: int | None = None,
                          x_slots: int | None = None,
                          bwd_block_mode: bool = True,
+                         pad_check: bool = True,
                          device: bool = True) -> AttentionPlan | None:
     """Plan dst-sorted (receivers, senders) for the fused attention
     kernels. Returns None when a dst block's in-edge count exceeds
@@ -159,7 +160,7 @@ def build_attention_plan(receivers: np.ndarray, senders: np.ndarray,
     if x > x_max:
         return None
     slots = num_blocks * x
-    if n_edges >= (1 << 20) and slots > PAD_LIMIT * n_edges:
+    if pad_check and n_edges >= (1 << 20) and slots > PAD_LIMIT * n_edges:
         return None
 
     slot = np.arange(x)
@@ -229,9 +230,14 @@ def build_chunked_attention_plans(receivers: np.ndarray,
     `slot_edge` / `edge_slot` / `e_orig` stay CHUNK-local — the
     standalone chunked edge_softmax slices scores[e0 : e0 + e_orig] per
     chunk and concatenates the per-chunk alphas (chunks partition the
-    dst-sorted edge list). Per-chunk X adapts to the chunk's own max
-    in-block count, so a hub-heavy region does not inflate the whole
-    graph's padding. Returns None when any block's in-edge count
+    dst-sorted edge list).
+
+    All chunks share ONE geometry — the same X (global max in-block
+    count), the same block count (ghost blocks pad the tail chunk) and
+    tile-padded bwd plans — so the fused kernels compile ONCE and are
+    reused by every chunk (per-chunk adaptive shapes compiled 16
+    distinct kernels at products scale, ~25 min through the remote
+    compile relay). Returns None when any block's in-edge count
     exceeds ``x_max`` (mega-hub skew) — callers fall back to XLA."""
     rec = np.asarray(receivers, np.int64)
     snd = np.asarray(senders, np.int64)
@@ -244,50 +250,53 @@ def build_chunked_attention_plans(receivers: np.ndarray,
     counts = np.bincount(rec // block_rows, minlength=num_blocks)
     if counts.max(initial=0) > x_max:
         return None
-    x_of = np.maximum(-(-counts // 128) * 128, 128)
 
     # single plan when the uniform-X slot count fits the budget
-    x_all = int(x_of.max())
+    x_all = max(128, -(-int(counts.max(initial=1)) // 128) * 128)
     if num_blocks * x_all <= max_slots:
         return build_attention_plan(rec, snd, n_nodes,
                                     block_rows=block_rows, x_max=x_max,
                                     n_src=n_src, device=device)
 
-    # greedy block packing: close a chunk when (blocks so far) * (max X
-    # so far) would blow the budget
-    ranges = []
-    b0, x_cur = 0, 0
-    for b in range(num_blocks):
-        x_new = max(x_cur, int(x_of[b]))
-        if b > b0 and (b - b0 + 1) * x_new > max_slots:
-            ranges.append((b0, b))
-            b0, x_cur = b, int(x_of[b])
-        else:
-            x_cur = x_new
-    ranges.append((b0, num_blocks))
+    # fixed-size block ranges: nb_c blocks per chunk at the common X
+    nb_c = max(1, max_slots // x_all)
+    ranges = [(b0, min(b0 + nb_c, num_blocks))
+              for b0 in range(0, num_blocks, nb_c)]
 
     block_edge_end = np.cumsum(counts)
     plans = []
     for cb0, cb1 in ranges:
         e0 = int(block_edge_end[cb0 - 1]) if cb0 else 0
         e1 = int(block_edge_end[cb1 - 1])
-        rows_c = min(cb1 * block_rows, n_nodes) - cb0 * block_rows
+        # pad the tail chunk's node range to the full nb_c blocks
+        # (ghost blocks carry only ghost slots -> zero output rows)
+        rows_c = nb_c * block_rows
+        # pad_check off: a sparse tail chunk legitimately pads a lot —
+        # the global budget is already enforced by max_slots.
+        # bwd_block_mode off: tiled bwd plans share (tile, block_rows)
+        # across chunks by construction, so tile-padding below gives
+        # every chunk the SAME bwd kernel shape (block-mode
+        # tiles_per_block would differ per chunk -> 1 compile each)
         sub = build_attention_plan(
             rec[e0:e1] - cb0 * block_rows, snd[e0:e1], rows_c,
             block_rows=block_rows, x_max=x_max, n_src=n_src,
+            x_slots=x_all, bwd_block_mode=False, pad_check=False,
             device=False)
         if sub is None:           # unreachable given the x_max pre-check
             return None
         sub = dataclasses.replace(sub, row0=cb0 * block_rows, e0=e0)
-        if device:
-            sub = dataclasses.replace(
-                sub, src_idx=jnp.asarray(sub.src_idx),
-                slot_edge=jnp.asarray(sub.slot_edge),
-                edge_slot=jnp.asarray(sub.edge_slot),
-                rec_lane=jnp.asarray(sub.rec_lane),
-                rec_sub=jnp.asarray(sub.rec_sub),
-                bwd=plan_to_device(sub.bwd))
         plans.append(sub)
+    nt = max(p.bwd.num_tiles for p in plans)
+    plans = [dataclasses.replace(
+        p, bwd=_pad_tiles_np(p.bwd, nt, n_src=p.slots)) for p in plans]
+    if device:
+        plans = [dataclasses.replace(
+            p, src_idx=jnp.asarray(p.src_idx),
+            slot_edge=jnp.asarray(p.slot_edge),
+            edge_slot=jnp.asarray(p.edge_slot),
+            rec_lane=jnp.asarray(p.rec_lane),
+            rec_sub=jnp.asarray(p.rec_sub),
+            bwd=plan_to_device(p.bwd)) for p in plans]
     return tuple(plans)
 
 

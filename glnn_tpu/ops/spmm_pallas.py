@@ -33,11 +33,12 @@ absence of a VMEM row shuffle (any in-VMEM rearrangement is itself a
 2*width*F-flop one-hot matmul); an in-kernel DMA gather is
 descriptor-issue-bound (~20M rows/s). Since r3 the default is the
 BLOCK-MODE kernel (`_block_kernel`): one grid step per dst block with
-no output revisiting — 155.3M edges/s bf16 / 181.1M int8 at
-arxiv-scale (driver-verified, BENCH_r03.json; builder probes saw up to
-167.7M/221.7M across relay variance) (see PERF.md r3 for the full decomposition; the remaining
-gap to the gather speed-of-light is the materialized message
-round-trip, structural for any two-op design).
+no output revisiting. Round 5 removed the hidden fill-mode select_n
+pass every gather paid when feeding a pallas_call (mode="clip",
+PERF.md r5) — 223.9M edges/s bf16 / 228.4M int8 at arxiv scale,
+0.98 / 1.00 of the MEASURED gather speed-of-light (driver-method
+BENCH_r05 run): the two-op design now sits within ~2% of its own
+gather, retiring the r3 "message round-trip floor" analysis.
 """
 
 from __future__ import annotations

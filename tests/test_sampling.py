@@ -238,3 +238,78 @@ def test_window_sampler_heavy_node_samples_own_neighbors():
             np.asarray(g.receivers) == hub].tolist())
         bad = [v for v in nbr.tolist() if v not in real_in and v != n]
         assert not bad, f"cross-node contamination: {bad[:5]}" 
+
+
+def test_window1_table_bit_identical_to_floyd():
+    """The r5 aligned 1-touch window table (Graph.with_window_table)
+    produces bit-identical samples to the exact Floyd tier for every
+    node with deg <= 64 (all nodes here)."""
+    rs = np.random.RandomState(11)
+    n, e = 500, 6000
+    g = build_graph(rs.randint(0, n, e), rs.randint(0, n, e), n)
+    deg = np.asarray(g.in_degrees)
+    assert deg.max() <= 64
+    gw = g.with_window_table()
+    assert gw.win1.shape == (n + 1, 64)
+    # ghost row is all-ghost
+    assert (np.asarray(gw.win1)[n] == n).all()
+    seeds = jnp.asarray(rs.randint(0, n, 64), jnp.int32)
+    for s in range(3):
+        rng = jax.random.PRNGKey(s)
+        bf = sample_blocks(g, seeds, (5, 10), rng, method="floyd")
+        bw = sample_blocks(gw, seeds, (5, 10), rng, method="window")
+        assert np.array_equal(np.asarray(bf.input_nodes),
+                              np.asarray(bw.input_nodes))
+
+
+def test_window1_heavy_node_samples_own_neighbors():
+    """Fold bias stays within the node's own first-64 edges."""
+    rs = np.random.RandomState(12)
+    n = 200
+    hub = 53
+    src = np.concatenate([rs.randint(0, n, 600),
+                          rs.randint(0, n, 150)])
+    dst = np.concatenate([rs.randint(0, n, 600),
+                          np.full(150, hub, np.int64)])
+    g = build_graph(src, dst, n).with_window_table()
+    real_in = set(np.asarray(g.senders)[
+        np.asarray(g.receivers) == hub].tolist())
+    for seed in range(4):
+        seeds = jnp.full((16,), hub, jnp.int32)
+        blocks = sample_blocks(g, seeds, (7,), jax.random.PRNGKey(seed),
+                               method="window")
+        nbr = np.asarray(blocks.input_nodes)[16:]
+        bad = [v for v in nbr.tolist() if v not in real_in and v != n]
+        assert not bad, f"cross-node contamination: {bad[:5]}"
+
+
+def test_sage_bf16_compute_dtype_epoch_close_to_f32():
+    """compute_dtype=bfloat16 (r5): the sampled epoch runs with bf16
+    frontier activations and tracks the f32 loss closely; params stay
+    f32."""
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import create_train_state, make_adam
+    from glnn_tpu.train.sage_sampled import make_sage_sampled_epoch_fn
+
+    rs = np.random.RandomState(13)
+    n, e = 400, 4000
+    g = build_graph(rs.randint(0, n, e), rs.randint(0, n, e),
+                    n).with_window_table()
+    x = jnp.asarray(rs.randn(n, 32).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 5, n))
+    itr = jnp.arange(200)
+    opt = make_adam(0.01, 0.0)
+    losses = {}
+    for cd in ("float32", "bfloat16"):
+        m = Model(dict(model_name="SAGE", num_layers=2, hidden_dim=64,
+                       label_dim=5, dropout_ratio=0.0,
+                       norm_type="batch", compute_dtype=cd))
+        st = create_train_state(m.init(jax.random.PRNGKey(0), g, x), opt)
+        ep = make_sage_sampled_epoch_fn(m, opt, 64, (3, 5),
+                                        sampler_tier="window")
+        st, loss, _ = ep(st, g, x, labels, itr, jax.random.PRNGKey(1))
+        losses[cd] = float(loss)
+        for p in jax.tree_util.tree_leaves(st.params):
+            assert p.dtype == jnp.float32
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * (
+        abs(losses["float32"]) + 1e-6)

@@ -5,6 +5,15 @@ driver bench shows gat2_teacher_step_ms ~1.2s — find where it goes).
 Times each edge-level primitive the GAT forward uses, at H=8 heads,
 plus a full fwd and a full train step, so the gap between
 "sum of primitives" and "step" exposes what the op surface hides.
+
+WARNING (r5): the chain-of-k "train step" marginal here is
+DCE-FLATTERED — the scan body discards the updated state, so XLA
+eliminates the whole backward pass and hoists the loop-invariant
+dropout masks; the r4 "44.3 ms marginal" was a forward pass. For
+honest step timing use the donated fed-back loop (bench.py
+step_loop_time / tools/probe_gat_step5.py) and per-HLO device traces
+(tools/trace_report.py). Kept for the per-primitive rows, which are
+grad-coupled and remain valid.
 """
 
 from __future__ import annotations
