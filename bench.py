@@ -125,7 +125,7 @@ def main():
     # host-built graph + plans (+ GAT attention plan), shipped as ONE
     # packed transfer; features/labels/splits are generated on device
     g_host = build_graph(src, dst, N, device=False).with_plans(
-        softmax=True, device=False)
+        softmax=True, device=False).with_window_table(device=False)
     g = ship_packed(g_host)
     _stage("graph+plans shipped (one packed upload)", start)
 
@@ -268,6 +268,20 @@ def main():
         ) - rpc
         extras["sage_sampled_epoch_30b_ms"] = round(sage_epoch_s * 1e3, 3)
         _stage(f"sage epoch {sage_epoch_s*1e3:.1f} ms", start)
+        try:
+            # r5 window tier: aligned 1-touch neighbor table (g.win1)
+            sage_epoch_w = make_sage_sampled_epoch_fn(
+                sage, opt, 512, (5, 10, 15), sampler_tier="window")
+            sage_w_s = time_scalar(
+                lambda s: sage_epoch_w(s, g, x, labels, idx_small,
+                                       k3)[1],
+                sage_state, iters=1, warmup=1,
+            ) - rpc
+            extras["sage_sampled_epoch_window_30b_ms"] = round(
+                sage_w_s * 1e3, 3)
+            _stage(f"sage epoch window {sage_w_s*1e3:.1f} ms", start)
+        except Exception as exc:  # pragma: no cover
+            extras["sage_sampled_epoch_window_30b_ms"] = f"error: {exc}"
     except Exception as exc:      # pragma: no cover
         extras["sage_sampled_epoch_30b_ms"] = f"error: {exc}"
 

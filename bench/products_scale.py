@@ -164,11 +164,15 @@ def halo_cpu_main():
 
     # sharded GAT attention at products scale: per-shard ATTENTION
     # PLANS must build (fused tier structure validation) and the
-    # compose tier must execute one whole attention layer on the mesh
-    from glnn_tpu.distributed.halo import halo_gat_attention
+    # compose tier must execute one whole attention layer on the mesh.
+    # attach_attention_plans builds on the EXISTING halo graph, so
+    # att_plan_build_s is the attention build alone (the r4 number
+    # re-ran the whole halo index construction inside the timer)
+    from glnn_tpu.distributed.halo import (attach_attention_plans,
+                                           halo_gat_attention)
 
     t0 = time.perf_counter()
-    hg_att = build_halo_graph(src, dst, N, mesh, attention_plans=True)
+    hg_att = attach_attention_plans(hg)
     att_build_s = time.perf_counter() - t0
     h, d = 4, 8
     feat = jnp.asarray(rs.randn(hg_att.n_pad, h, d).astype(np.float32))
@@ -423,10 +427,13 @@ def main():
               "seconds": round(fwd_s, 3), "heads": h_n,
               "edges_per_s": round(E / fwd_s, 1),
               "chunks": len(g.smx) if isinstance(g.smx, tuple) else 1})
+        # the graph must be a jit ARGUMENT: closed over, its ~2 GB of
+        # chunked plan arrays become HLO constants and the remote
+        # compile relay rejects the payload (HTTP 413)
         att_fb = jax.jit(jax.grad(
-            lambda f, a, b: ops.gat_attention(g, f, a, b)
+            lambda f, a, b, gg: ops.gat_attention(gg, f, a, b)
             .sum(dtype=jnp.float32), argnums=(0, 1, 2)))
-        fb = time_scalar(lambda f: att_fb(f, al, ar), feat3, iters=2,
+        fb = time_scalar(lambda f: att_fb(f, al, ar, g), feat3, iters=2,
                          warmup=1)
         emit({"stage": "fused_attention_fwd_bwd_products",
               "seconds": round(fb, 3),

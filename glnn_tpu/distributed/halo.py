@@ -174,10 +174,10 @@ def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
     halo_dst[hp_s, hpos] = dst[hidx][horder] - hp_s * rows
 
     n_pad = n_shards * rows
-    ind = np.zeros(n_pad, np.float32)
-    outd = np.zeros(n_pad, np.float32)
-    np.add.at(ind, dst, 1.0)
-    np.add.at(outd, src, 1.0)
+    # bincount, not np.add.at: the ufunc.at path costs ~12 s per array
+    # at 62M edges (measured r5), bincount ~1 s
+    ind = np.bincount(dst, minlength=n_pad).astype(np.float32)
+    outd = np.bincount(src, minlength=n_pad).astype(np.float32)
 
     plans = None
     if build_plans:
@@ -231,6 +231,28 @@ def build_halo_graph(src: np.ndarray, dst: np.ndarray, n_nodes: int,
         axis=axis,
         mesh=mesh,
     )
+
+
+def attach_attention_plans(hg: HaloGraph) -> HaloGraph:
+    """Build the per-shard attention plans (+ shard-layout slot maps)
+    for an EXISTING HaloGraph — avoids re-running the whole halo index
+    construction when the graph was built without attention_plans.
+    Returns hg unchanged when a shard declines (mega-hub skew)."""
+    rows = hg.rows_per_shard
+    local_src = np.asarray(hg.local_src)
+    local_dst = np.asarray(hg.local_dst)
+    halo_gather = np.asarray(hg.halo_gather)
+    halo_dst = np.asarray(hg.halo_dst)
+    loc_counts = (local_dst < rows).sum(axis=1)
+    halo_counts = (halo_dst < rows).sum(axis=1)
+    built = _build_attention_plans(
+        local_src, local_dst, loc_counts, halo_gather, halo_dst,
+        halo_counts, rows, hg.n_shards * hg.halo_rows, hg.e_local,
+        hg.e_halo)
+    if built is None:
+        return hg
+    att, att_maps = built
+    return dataclasses.replace(hg, att=att, att_maps=att_maps)
 
 
 def _shard_kernel(hg: HaloGraph, use_plans: bool):

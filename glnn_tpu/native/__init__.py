@@ -63,6 +63,9 @@ def _load():
         ("spmm_plan_fill", [ctypes.c_int64, i64p, i64p, ctypes.c_int64,
                             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                             "i32p", "i32p", "i32p", "i32p"]),
+        ("att_plan_fill", [ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+                           ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                           "i32p", "i32p", "i32p", "i32p"]),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = [i32p if a == "i32p" else a for a in argtypes]
@@ -189,6 +192,31 @@ def spmm_block_plan_arrays(rec, snd, n_nodes: int, n_src: int, tile: int,
                                    _p32(rec_local))
     assert got == num_blocks
     return src_idx, edge_perm, rec_local, int(t_max), num_blocks
+
+
+def att_plan_arrays(rec, snd, n_nodes: int, n_src: int, block_rows: int,
+                    x: int):
+    """Native attention-plan fill (see native/graphops.cpp). Returns
+    (src_idx, slot_edge, rec_local [i32, nb*x], edge_slot [i32, e]) or
+    None when the library is unavailable; raises if a block's edge
+    count exceeds x (callers pre-check)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rec, snd = _c64(rec), _c64(snd)
+    e = rec.shape[0]
+    nb = max(1, -(-n_nodes // block_rows))
+    src_idx = np.empty(nb * x, np.int32)
+    slot_edge = np.empty(nb * x, np.int32)
+    rec_local = np.empty(nb * x, np.int32)
+    edge_slot = np.empty(e, np.int32)
+    got = lib.att_plan_fill(e, _p(rec), _p(snd), n_nodes, n_src,
+                            block_rows, x, _p32(src_idx), _p32(slot_edge),
+                            _p32(rec_local), _p32(edge_slot))
+    if got < 0:
+        raise ValueError("att_plan_fill: block edge count exceeds x")
+    assert got == nb
+    return src_idx, slot_edge, rec_local, edge_slot
 
 
 def spmm_plan_arrays(rec, snd, n_nodes: int, n_src: int, tile: int,

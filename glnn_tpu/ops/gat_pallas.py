@@ -573,11 +573,18 @@ def _chunked_bwd(slope, inv_keep, drop_meta, res, dout):
     dal_acc = jnp.zeros((h, hd), jnp.float32)
     for ci, p in enumerate(plans):
         nb, d = p.num_blocks, p.block_rows
+        # serialize the chunks: they are data-independent except
+        # through dsrc_acc, so the scheduler otherwise launches all
+        # gathers up front and keeps every chunk's [N, hd] reduction
+        # output alive at once (measured 22.6 GB > HBM at products
+        # scale). Tying each chunk's feature gather to the previous
+        # accumulation keeps ONE chunk in flight.
+        f2c, dsrc_acc = jax.lax.optimization_barrier((f2, dsrc_acc))
         er_pad = jnp.pad(
             jax.lax.dynamic_slice_in_dim(er_full, p.row0, nb * d),
             ((0, 0), (0, 128 - h)))
         dout_pad = jax.lax.dynamic_slice_in_dim(dout2, p.row0, nb * d)
-        feat_slots = jnp.take(f2, p.src_idx, axis=0, mode="clip")
+        feat_slots = jnp.take(f2c, p.src_idx, axis=0, mode="clip")
         der_c, msg, dal_c = _bwd_call(
             p, feat_slots, er_pad, al, rrep,
             _chunk_drop(drop_meta, drop_key, ci, p, h), dout_pad, slope,

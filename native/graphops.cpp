@@ -322,4 +322,37 @@ int64_t spmm_block_plan_fill(int64_t e, const int64_t* rec,
   return num_blocks;
 }
 
+// Attention-plan fill (ops/attention_plan.py): dst-sorted edges, each
+// dst block of `block_rows` rows owns exactly `x` consecutive slots in
+// NATURAL edge order. One pass; ghosts pre-filled. Returns num_blocks,
+// or -1 if any block's edge count exceeds x (caller declined earlier).
+int64_t att_plan_fill(int64_t e, const int64_t* rec, const int64_t* snd,
+                      int64_t n_nodes, int64_t n_src, int64_t block_rows,
+                      int64_t x, int32_t* src_idx, int32_t* slot_edge,
+                      int32_t* rec_local, int32_t* edge_slot) {
+  int64_t nb = (n_nodes + block_rows - 1) / block_rows;
+  if (nb < 1) nb = 1;
+  const int64_t slots = nb * x;
+  for (int64_t i = 0; i < slots; ++i) {
+    src_idx[i] = (int32_t)n_src;
+    slot_edge[i] = (int32_t)e;
+    rec_local[i] = (int32_t)block_rows;
+  }
+  std::vector<int64_t> start(nb + 1, 0);
+  for (int64_t i = 0; i < e; ++i) start[rec[i] / block_rows + 1]++;
+  for (int64_t b = 0; b < nb; ++b) {
+    if (start[b + 1] > x) return -1;
+    start[b + 1] += start[b];
+  }
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t b = rec[i] / block_rows;
+    const int64_t slot = b * x + (i - start[b]);
+    src_idx[slot] = (int32_t)snd[i];
+    slot_edge[slot] = (int32_t)i;
+    rec_local[slot] = (int32_t)(rec[i] - b * block_rows);
+    edge_slot[i] = (int32_t)slot;
+  }
+  return nb;
+}
+
 }  // extern "C"

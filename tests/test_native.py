@@ -169,3 +169,32 @@ def test_native_block_plan_matches_numpy():
     np.testing.assert_array_equal(np.asarray(got.rec_local),
                                   np.asarray(want.rec_local))
     np.testing.assert_array_equal(got.block_id, want.block_id)
+
+
+def test_native_att_plan_fill_matches_numpy():
+    """r5: single-pass C++ attention-plan fill vs the numpy fallback."""
+    import glnn_tpu.native as nat
+    from glnn_tpu.ops import attention_plan as ap
+
+    if not nat.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rs = np.random.RandomState(3)
+    n, e = 700, 5000
+    dst = np.sort(rs.randint(0, n, e))
+    src = rs.randint(0, n, e)
+    p_nat = ap.build_attention_plan(dst, src, n, device=False)
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        p_np = ap.build_attention_plan(dst, src, n, device=False)
+    finally:
+        nat.available = orig
+    for f in ("src_idx", "slot_edge", "rec_lane", "rec_sub", "edge_slot"):
+        a = np.asarray(getattr(p_nat, f)).reshape(-1)
+        b = np.asarray(getattr(p_np, f)).reshape(-1)
+        assert np.array_equal(a, b), f
+    for f in ("src_idx", "edge_perm", "rec_local", "block_id"):
+        a = np.asarray(getattr(p_nat.bwd, f)).reshape(-1)
+        b = np.asarray(getattr(p_np.bwd, f)).reshape(-1)
+        assert np.array_equal(a, b), f
