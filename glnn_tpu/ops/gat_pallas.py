@@ -119,13 +119,22 @@ def _scores_block(rec_lane, rec_sub, feat, er_blk, al, slope, d, x):
                  preferred_element_type=jnp.float32)
     row_d = jax.lax.broadcasted_iota(jnp.int32, (d, x), 0)
     onehot = (row_d == rec_lane).astype(jnp.float32)   # [d, X]
-    er_s = _extract(onehot, er_blk)                    # [X, 128]
+    # er_blk arrives bf16 (one bf16 rounding of the f32 er, applied
+    # identically in fwd and bwd); the one-hot is exact in bf16, so the
+    # extraction dot runs at bf16 MXU rate with exact f32 accumulation
+    er_s = _extract(onehot.astype(jnp.bfloat16), er_blk)
     s_pre = el + er_s
     s = jnp.where(s_pre >= 0, s_pre, slope * s_pre)
     s = jnp.where(valid, s, _NEG)
     bmax = jnp.max(s, axis=0, keepdims=True)          # per-block max:
-    # constant within every segment of the block -> exact softmax
+    # constant within every segment of the block -> exact softmax.
+    # ex is rounded ONCE to bf16 values (kept in f32 storage): every
+    # dot that consumes it (denominator, weighted aggregate) is then
+    # exact-in-bf16 at bf16 MXU rate, and the softmax identity
+    # sum(alpha) = 1 holds exactly because numerator and denominator
+    # see the SAME rounded values (fwd and bwd alike)
     ex = jnp.where(valid, jnp.exp(s - bmax), 0.0)
+    ex = ex.astype(jnp.bfloat16).astype(jnp.float32)
     return valid, s_pre, ex, onehot
 
 
@@ -157,7 +166,9 @@ def _gat_fwd_kernel(rec_lane_ref, rec_sub_ref, feat_ref, er_ref, al_ref,
     valid, _, ex, onehot = _scores_block(
         rec_lane_ref[0], rec_sub_ref[0], feat, er_ref[:, :], al_ref[:, :],
         slope, d, x)
-    denom = jnp.dot(onehot, ex, preferred_element_type=jnp.float32)
+    # ex is bf16-valued (see _scores_block): exact bf16-input dot
+    denom = jnp.dot(onehot.astype(jnp.bfloat16), ex.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
     denom = jnp.maximum(denom, _TINY)                  # [d, 128]
     exd = (ex * _drop_weights(drop_mode, drop_ref, inv_keep, keep_thresh,
                               x, pl.program_id(0))
@@ -204,7 +215,8 @@ def _gat_bwd_kernel(rec_lane_ref, rec_sub_ref, feat_ref, er_ref, al_ref,
         rec_lane_ref[0], rec_sub_ref[0], feat_bf, er_ref[:, :], al,
         slope, d, x)
     denom = jnp.maximum(
-        jnp.dot(onehot, ex, preferred_element_type=jnp.float32), _TINY)
+        jnp.dot(onehot.astype(jnp.bfloat16), ex.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32), _TINY)
     mask_w = (_drop_weights(drop_mode, drop_ref, inv_keep, keep_thresh,
                             x, b) if drop_mode else None)
     exd = ex * mask_w if drop_mode else ex
@@ -238,12 +250,12 @@ def _gat_bwd_kernel(rec_lane_ref, rec_sub_ref, feat_ref, er_ref, al_ref,
     ds_pre = jnp.where(s_pre >= 0, ds, slope * ds)     # leaky'
     ds_pre = jnp.where(valid, ds_pre, 0.0)
 
-    der_ref[:, :] = jnp.dot(onehot, ds_pre,
+    ds_bf = ds_pre.astype(jnp.bfloat16)
+    der_ref[:, :] = jnp.dot(onehot.astype(jnp.bfloat16), ds_bf,
                             preferred_element_type=jnp.float32)
     # per-slot message reduced over SOURCE outside: aggregation term
     # exd*doutn[dst] plus the el-path term ds_pre @ attn_l^T.
     # post-cancellation dots: bf16 inputs, exact f32 accumulation
-    ds_bf = ds_pre.astype(jnp.bfloat16)
     del_feat = jax.lax.dot_general(
         ds_bf, al.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # [X, HDp]
@@ -399,7 +411,10 @@ def _prep(plan, feat_dst, attn_l, attn_r, hdp):
     nb, d = plan.num_blocks, plan.block_rows
     er = jnp.sum(feat_dst.astype(jnp.float32)
                  * attn_r[None].astype(jnp.float32), axis=-1)  # [Nd, H]
-    er_pad = jnp.pad(er, ((0, nb * d - n), (0, 128 - h)))
+    # ONE bf16 rounding of er, shared by fwd and bwd (the kernels'
+    # extraction dot is exact over bf16 inputs)
+    er_pad = jnp.pad(er, ((0, nb * d - n), (0, 128 - h))
+                     ).astype(jnp.bfloat16)
     al = _block_diag_al(attn_l, hdp)
     rrep = _replication(h, dd, hdp)
     return er_pad, al, rrep
@@ -542,7 +557,8 @@ def _chunked_fwd(slope, inv_keep, drop_meta, plans, feat, attn_l,
             jnp.pad(er, ((0, plans[-1].row0
                           + plans[-1].num_blocks * d - n), (0, 0))),
             p.row0, nb * d)
-        er_pad = jnp.pad(er_c, ((0, 0), (0, 128 - h)))
+        er_pad = jnp.pad(er_c, ((0, 0), (0, 128 - h))
+                         ).astype(jnp.bfloat16)
         feat_slots = jnp.take(f2, p.src_idx, axis=0, mode="clip")
         out_c = _fwd_call(p, feat_slots, er_pad, al, rrep,
                           _chunk_drop(drop_meta, drop_key, ci, p, h),
@@ -582,7 +598,7 @@ def _chunked_bwd(slope, inv_keep, drop_meta, res, dout):
         f2c, dsrc_acc = jax.lax.optimization_barrier((f2, dsrc_acc))
         er_pad = jnp.pad(
             jax.lax.dynamic_slice_in_dim(er_full, p.row0, nb * d),
-            ((0, 0), (0, 128 - h)))
+            ((0, 0), (0, 128 - h))).astype(jnp.bfloat16)
         dout_pad = jax.lax.dynamic_slice_in_dim(dout2, p.row0, nb * d)
         feat_slots = jnp.take(f2c, p.src_idx, axis=0, mode="clip")
         der_c, msg, dal_c = _bwd_call(
