@@ -184,9 +184,13 @@ def main():
         def take_only(graph, xx):
             # scalar-coupled so the scan carry depends on the gather
             # (otherwise XLA dead-code-eliminates it); the extra
-            # broadcast-add streams x once (~0.5ms), small vs the gather
+            # broadcast-add streams x once (~0.5ms), small vs the
+            # gather. clip mode + no ghost-row extension (r5): the
+            # denominator is the MINIMAL achievable gather of the
+            # plan's own slots — the same convention the op itself
+            # now uses (PERF.md r5 fill-pass finding)
             xb = xx.astype(jnp.bfloat16)
-            m = jnp.take(_sp._ghost_extend(xb), _pf.src_idx, axis=0)
+            m = jnp.take(xb, _pf.src_idx, axis=0, mode="clip")
             return xx + m.sum(dtype=jnp.float32) * 1e-12
         dt_take = spmm_time(take_only)
         _stage(f"bare gather {dt_take*1e3:.2f} ms", start)

@@ -282,12 +282,13 @@ def main():
 
     @jax.jit
     def _bare(gg, xx):
+        # clip mode, no ghost extension: same gather convention as the
+        # op (r5) — the minimal achievable gather of the plan's slots
         xb = xx.astype(jnp.bfloat16)
-        ext = _sp._ghost_extend(xb)
         acc = jnp.float32(0)
         for p in (gg.plans[0] if isinstance(gg.plans[0], tuple)
                   else (gg.plans[0],)):
-            acc = acc + jnp.take(ext, p.src_idx, axis=0).sum(
+            acc = acc + jnp.take(xb, p.src_idx, axis=0, mode="clip").sum(
                 dtype=jnp.float32) * 1e-12
         return acc
 

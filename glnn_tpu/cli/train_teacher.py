@@ -160,9 +160,11 @@ def run(args):
          unmap) = _locality_relabel(
             g, feats, labels, (idx_train, idx_val, idx_test), n_shards,
             logger)
+    from glnn_tpu.train.engine import _use_sampled_sage
+    want_win1 = (conf.get("sampler_tier") == "window"
+                 and _use_sampled_sage(conf, model))
     G = g.to_device(build_plans=build_plans, softmax_plans=smx_plans,
-                    window_table=(conf.get("sampler_tier") == "window"
-                                  and not model.is_mlp))
+                    window_table=want_win1)
 
     def _to_halo(host_g, want_plans):
         """Graph-partitioned halo view over the first n_shards devices
@@ -210,9 +212,7 @@ def run(args):
         obs_g = g.subgraph(indices[3])
         obs_G = obs_g.to_device(build_plans=build_plans,
                                 softmax_plans=smx_plans,
-                                window_table=(
-                                    conf.get("sampler_tier") == "window"
-                                    and not model.is_mlp))
+                                window_table=want_win1)
         if args.feature_aug_k > 0:
             idx_obs = indices[3]
             obs_feats = np.asarray(

@@ -612,7 +612,13 @@ def halo_u_mul_e_sum(hg: HaloGraph, x: jax.Array, e: jax.Array) -> jax.Array:
     rows = hg.rows_per_shard
     et = hg.e_local + hg.e_halo
 
-    if _use_att_plans(hg) and x.ndim in (2, 3) and e.ndim in (1, 2):
+    # same shape contract as the single-graph pallas dispatch: scalar
+    # weights with 2-D x, per-head weights with 3-D x. Other broadcast
+    # combinations (e.g. e [P*Et, F] elementwise) stay on the XLA tier
+    # below — _w_slot_messages would mis-fold them (review r5).
+    planned_shapes = ((x.ndim == 2 and e.ndim == 1)
+                      or (x.ndim == 3 and e.ndim == 2))
+    if _use_att_plans(hg) and planned_shapes:
         from glnn_tpu.ops.attention_plan import \
             shard_slice_attention_plan
 

@@ -423,6 +423,10 @@ def _prep(plan, feat_dst, attn_l, attn_r, hdp):
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _fused_gat(slope, inv_keep, drop_meta, plan, feat_src, feat_dst,
                attn_l, attn_r, drop_arr):
+    # NOTE: feat_src itself is NOT kept in the residuals — only its
+    # static row count/dtype are needed by the backward (review r5:
+    # keeping it extended the halo tier's [rows+ph] concat buffer's
+    # liveness across the whole backward).
     """Rectangular fused attention core: sources (el + messages) come
     from `feat_src` [Ns, H, D] (the plan's src_idx space — ghost row
     Ns), destinations (er + output rows) from `feat_dst` [Nd, H, D].
@@ -462,14 +466,17 @@ def _fused_fwd(slope, inv_keep, drop_meta, plan, feat_src, feat_dst,
     # already-materialized bf16 buffer is a sequential stream, while
     # the r4 f32 re-GATHER paid the random-row engine again at 2x the
     # bytes (1 KB f32 rows sit on the gather bytes-wall)
-    return out, (plan, feat_slots, feat_src, feat_dst, attn_l, attn_r,
+    ns_arr = jnp.zeros((feat_src.shape[0], 0), feat_src.dtype)
+    return out, (plan, feat_slots, ns_arr, feat_dst, attn_l, attn_r,
                  drop_arr)
 
 
 def _fused_bwd(slope, inv_keep, drop_meta, res, dout):
-    (plan, feat_slots, feat_src, feat_dst, attn_l, attn_r,
+    # ns_arr is a zero-size stand-in carrying feat_src's static row
+    # count and dtype without keeping the buffer itself alive
+    (plan, feat_slots, ns_arr, feat_dst, attn_l, attn_r,
      drop_arr) = res
-    ns, src_dtype = feat_src.shape[0], feat_src.dtype
+    ns, src_dtype = ns_arr.shape[0], ns_arr.dtype
     n, h, dd = feat_dst.shape
     hd = h * dd
     hdp = _pad128(hd)

@@ -36,8 +36,8 @@ BLOCK-MODE kernel (`_block_kernel`): one grid step per dst block with
 no output revisiting. Round 5 removed the hidden fill-mode select_n
 pass every gather paid when feeding a pallas_call (mode="clip",
 PERF.md r5) — 223.9M edges/s bf16 / 228.4M int8 at arxiv scale,
-0.98 / 1.00 of the MEASURED gather speed-of-light (driver-method
-BENCH_r05 run): the two-op design now sits within ~2% of its own
+0.98 / 1.00 of the MEASURED gather speed-of-light (builder-side run
+of the driver harness; driver artifact at round end): the two-op design now sits within ~2% of its own
 gather, retiring the r3 "message round-trip floor" analysis.
 """
 
@@ -195,6 +195,9 @@ def segment_reduce(plan: SpmmPlan, messages: jax.Array,
 
 
 def _ghost_extend(x: jax.Array) -> jax.Array:
+    """Append one zero row. No op code path uses this since the r5
+    clip-mode conversion (sentinel indices clamp and are one-hot
+    masked); kept for the probe/bench harnesses that predate it."""
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
 

@@ -113,16 +113,19 @@ def _sample_one_hop(g: Graph, frontier: jax.Array, fanout: int,
     iterations, each an O(k) membership test over the slots already
     chosen, so the traced cost is C*k^2 compares (k = fanout <= ~15).
 
-    method="window" keeps the SAME Floyd offsets but reads each node's
-    neighbors as WIN_ROWS consecutive WIN-wide rows of the edge array
-    instead of `fanout` independent element-gathers — bit-identical to
-    "floyd" for every node with deg <= WINDOW_EXACT_DEG (=65), and the
-    gather does ~fanout/2 fewer row-rate-bound touches. Nodes above
-    that degree have their sampled offsets folded back into the window
-    (mod), biasing their sample toward the first window of edges —
-    choose this tier for bounded-degree graphs (the products recipe's
-    uniform graph: P[deg > 65] ~ 1e-11) or accept the documented bias
-    on heavy tails; "floyd" stays the exact default.
+    method="window" keeps the SAME Floyd offsets but replaces the
+    `fanout` independent element-gathers with window row reads. With
+    the aligned per-node table attached (g.win1,
+    Graph.with_window_table — the default for --sampler_tier window)
+    each node costs ONE 64-wide row, bit-identical to "floyd" for
+    deg <= WINDOW1_EXACT_DEG (=64); without it, 2 consecutive WIN-wide
+    rows of the reshaped edge array, exact for
+    deg <= WINDOW_EXACT_DEG (=65). Heavier nodes fold their sampled
+    offsets back into their own window (mod), biasing the sample
+    toward the node's first edges — choose this tier for
+    bounded-degree graphs (the products recipe's uniform graph:
+    P[deg > 64] ~ 1e-11) or accept the documented bias on heavy
+    tails; "floyd" stays the exact default.
     """
     n = g.n_nodes
     is_real = frontier < n

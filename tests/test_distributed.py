@@ -604,3 +604,25 @@ def test_planned_halo_u_mul_e_sum_matches_xla_tier(mesh8):
         np.testing.assert_allclose(np.asarray(ge_p)[real],
                                    np.asarray(ge_r)[real],
                                    rtol=2e-2, atol=5e-2)
+
+
+def test_halo_u_mul_e_sum_broadcast_weights_fall_back(mesh8):
+    """e [P*Et, F] elementwise-broadcast weights are NOT a planned-tier
+    shape (review r5: _w_slot_messages would mis-fold them); with the
+    pallas backend forced they must still produce the XLA tier's
+    result."""
+    from glnn_tpu.distributed.halo import halo_u_mul_e_sum
+
+    g, hg = _att_setup(mesh8, seed=9)
+    rs = np.random.RandomState(9)
+    et = hg.e_local + hg.e_halo
+    x = jnp.asarray(rs.randn(hg.n_pad, 8).astype(np.float32))
+    e = jnp.asarray(rs.rand(hg.n_shards * et, 8).astype(np.float32))
+    want = np.asarray(halo_u_mul_e_sum(hg, x, e))
+    ops = _force_pallas()
+    try:
+        got = np.asarray(jax.jit(
+            lambda a, b: halo_u_mul_e_sum(hg, a, b))(x, e))
+    finally:
+        ops.set_backend("auto")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
