@@ -104,10 +104,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="Activation compute dtype for the sampled "
-                             "SAGE teacher (bfloat16 halves the HBM "
-                             "traffic of the memory-bound frontier "
-                             "passes; parameters, norm statistics and "
-                             "losses stay float32)")
+                             "SAGE teacher and the MLP student "
+                             "(bfloat16 halves the memory-bound "
+                             "frontier traffic and runs the student's "
+                             "dense stack at bf16 MXU rate; parameters, "
+                             "norm statistics and losses stay float32)")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Unused on TPU (sampling is on-device); kept "
                              "for flag compatibility")

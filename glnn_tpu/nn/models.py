@@ -44,19 +44,31 @@ def _torch_dense(out_dim: int, in_dim: int) -> nn.Dense:
 
 
 class MLP(nn.Module):
+    """`dtype` (conf key compute_dtype) sets the activation compute
+    dtype; bfloat16 runs the student's dense stack at bf16 MXU rate
+    (the reference's headline claim is graph-free student INFERENCE
+    speed — imgs/trade_off.png). Params, norm statistics and losses
+    stay float32."""
+
     num_layers: int
     hidden_dim: int
     output_dim: int
     dropout_ratio: float
     norm_type: str = "none"
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False):
-        h = x
+        h = x if self.dtype is None else x.astype(self.dtype)
         h_list = []
         for l in range(self.num_layers):
             out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
-            h = _torch_dense(out, h.shape[-1])(h)
+            h = nn.Dense(
+                out,
+                kernel_init=gi.torch_linear_kernel,
+                bias_init=gi.torch_linear_bias(h.shape[-1]),
+                dtype=self.dtype,
+            )(h)
             if l != self.num_layers - 1:
                 h_list.append(h)
                 if self.norm_type != "none":
@@ -232,13 +244,14 @@ class Model:
             dropout_ratio=conf["dropout_ratio"],
         )
         name = self.model_name
+        cd = conf.get("compute_dtype") or "float32"
+        cdtype = None if cd in ("float32", "f32") else jnp.dtype(cd)
         if "MLP" in name:
-            self.module = MLP(norm_type=conf.get("norm_type", "none"), **kw)
+            self.module = MLP(norm_type=conf.get("norm_type", "none"),
+                              dtype=cdtype, **kw)
         elif "SAGE" in name:
-            cd = conf.get("compute_dtype") or "float32"
             self.module = SAGE(
-                norm_type=conf.get("norm_type", "none"),
-                dtype=None if cd in ("float32", "f32") else jnp.dtype(cd),
+                norm_type=conf.get("norm_type", "none"), dtype=cdtype,
                 **kw)
         elif "GCN" in name:
             self.module = GCN(norm_type=conf.get("norm_type", "none"), **kw)

@@ -247,3 +247,33 @@ def test_distill_loss_and_score_rows_match_reference_layout(synth_small):
         make_adam(0.01, 0.0), logger, rows_ind,
     )
     assert rows_ind and all(len(r) == 9 for r in rows_ind)
+
+
+def test_mlp_bf16_compute_dtype_close_to_f32():
+    """compute_dtype=bfloat16 on the student MLP (r5 serving tier):
+    epoch loss tracks f32 closely; params stay f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.train import (create_train_state, make_adam,
+                                make_mlp_epoch_fn)
+
+    rs = np.random.RandomState(21)
+    x = jnp.asarray(rs.randn(300, 24).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 5, 300))
+    opt = make_adam(0.01, 0.0)
+    losses = {}
+    for cd in ("float32", "bfloat16"):
+        m = Model(dict(model_name="MLP", num_layers=2, hidden_dim=64,
+                       label_dim=5, dropout_ratio=0.0, norm_type="none",
+                       compute_dtype=cd))
+        st = create_train_state(m.init(jax.random.PRNGKey(0), None,
+                                       x[:2]), opt)
+        ep = make_mlp_epoch_fn(m, opt, batch_size=64, criterion="nll")
+        st, loss = ep(st, x, labels, jax.random.PRNGKey(1))
+        losses[cd] = float(loss)
+        for p in jax.tree_util.tree_leaves(st.params):
+            assert p.dtype == jnp.float32
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * (
+        abs(losses["float32"]) + 1e-6)
