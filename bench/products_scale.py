@@ -409,6 +409,54 @@ def main():
           "edges_per_s": round(3 * E / ev_s, 1),
           "note": "int8 eval tier (r4 default via ops.inference_mode)"})
 
+    # r5: the production STUDENT at products scale — the Table-3 GLNN
+    # recipe (MLP3w8: 3 x 2048, batch 4096, glnn_products.sh) with the
+    # reference's two-pass distillation schedule per epoch (hard-label
+    # NLL pass at weight lamb, soft-label KL pass at 1-lamb;
+    # train_and_eval.py:560-566). out_t stands in as random log-probs
+    # (real values don't change the arithmetic). Also the student's
+    # all-node inference — the serving artifact the paper is about.
+    from glnn_tpu.train import make_mlp_epoch_fn
+
+    sconf = dict(model_name="MLP3w8", num_layers=3, hidden_dim=2048,
+                 label_dim=C, dropout_ratio=0.5, norm_type="batch")
+    student = Model(sconf)
+    sopt = make_adam(0.01, 0.002)
+    sstate = create_train_state(
+        student.init(jax.random.PRNGKey(3), None, feats[:64]), sopt)
+    out_t = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(13), (N, C), jnp.float32))
+    ep_hard = make_mlp_epoch_fn(student, sopt, BATCH, "nll", lamb=0.0)
+    ep_soft = make_mlp_epoch_fn(student, sopt, BATCH, "kl", lamb=1.0)
+
+    def distill_epoch(s):
+        s, _ = ep_hard(s, feats[:TRAIN], labels[:TRAIN],
+                       jax.random.PRNGKey(20))
+        s, l = ep_soft(s, feats, out_t, jax.random.PRNGKey(21))
+        return s, l
+
+    t0 = time.perf_counter()
+    s2, l = distill_epoch(sstate)
+    float(l)
+    compile_st = time.perf_counter() - t0
+    st_s = time_scalar(lambda s: distill_epoch(s)[1], s2, iters=2)
+    emit({"stage": "student_distill_epoch", "seconds": round(st_s, 2),
+          "first_call_s": round(compile_st, 2),
+          "note": "MLP3w8 two-pass distill epoch (hard pass over train "
+                  "rows at lamb=0 + soft KL pass over ALL rows), the "
+                  "glnn_products.sh recipe"})
+
+    sinf = jax.jit(lambda v, xx: student.apply(
+        v, None, xx, training=False)[1].sum(dtype=jnp.float32))
+    si_s = time_scalar(lambda: sinf({"params": s2.params,
+                                     "batch_stats": s2.batch_stats}, feats),
+                       iters=2, warmup=1)
+    emit({"stage": "student_inference_all_nodes",
+          "seconds": round(si_s, 3),
+          "note": "graph-free MLP3w8 forward over all 2.45M nodes — "
+                  "the serving artifact (vs full_graph_eval for the "
+                  "SAGE teacher)"})
+
     # r5: fused slot-space attention AT PRODUCTS SCALE through the
     # chunked plans (VERDICT r4 weak #4 — softmax_auto used to decline
     # >16M edges outright). One whole GAT attention layer (scores ->

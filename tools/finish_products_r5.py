@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Append the student + fused-attention rows to
+bench/products_scale_r5.json (standalone completion — the full
+bench/products_scale.py run carries the same stages; this avoids
+re-running its ~10-minute setup when only the tail stages changed)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+N, E, F, C, TRAIN, BATCH = 2_449_029, 61_859_140, 100, 47, 196_615, 4096
+OUT = os.path.join(os.path.dirname(__file__), "..", "bench",
+                   "products_scale_r5.json")
+
+
+def emit(row):
+    print(json.dumps(row), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/glnn_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from glnn_tpu import ops
+    from glnn_tpu.graph.container import build_graph
+    from glnn_tpu.nn.models import Model
+    from glnn_tpu.ops.attention_plan import build_chunked_attention_plans
+    from glnn_tpu.train import (create_train_state, make_adam,
+                                make_mlp_epoch_fn)
+    from glnn_tpu.utils.packing import ship_packed
+
+    def time_scalar(fn, *args, iters=2, warmup=1):
+        def force(out):
+            leaf = jax.tree_util.tree_leaves(out)[-1]
+            return float(leaf.sum() if getattr(leaf, "ndim", 0) else leaf)
+        for _ in range(warmup):
+            force(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            force(fn(*args))
+        return (time.perf_counter() - t0) / iters
+
+    feats = jax.random.normal(jax.random.PRNGKey(7), (N, F), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(8), (N,), 0, C)
+
+    # ---- student (graph-free): Table-3 products GLNN recipe ----
+    sconf = dict(model_name="MLP3w8", num_layers=3, hidden_dim=2048,
+                 label_dim=C, dropout_ratio=0.5, norm_type="batch")
+    student = Model(sconf)
+    sopt = make_adam(0.01, 0.002)
+    sstate = create_train_state(
+        student.init(jax.random.PRNGKey(3), None, feats[:64]), sopt)
+    out_t = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(13), (N, C), jnp.float32))
+    ep_hard = make_mlp_epoch_fn(student, sopt, BATCH, "nll", lamb=0.0)
+    ep_soft = make_mlp_epoch_fn(student, sopt, BATCH, "kl", lamb=1.0)
+
+    def distill_epoch(s):
+        s, _ = ep_hard(s, feats[:TRAIN], labels[:TRAIN],
+                       jax.random.PRNGKey(20))
+        s, l = ep_soft(s, feats, out_t, jax.random.PRNGKey(21))
+        return s, l
+
+    t0 = time.perf_counter()
+    s2, l = distill_epoch(sstate)
+    float(l)
+    compile_st = time.perf_counter() - t0
+    st_s = time_scalar(lambda s: distill_epoch(s)[1], s2, iters=2)
+    emit({"stage": "student_distill_epoch", "seconds": round(st_s, 2),
+          "first_call_s": round(compile_st, 2),
+          "note": "MLP3w8 two-pass distill epoch (hard pass over train "
+                  "rows at lamb=0 + soft KL pass over ALL rows), the "
+                  "glnn_products.sh recipe"})
+
+    sinf = jax.jit(lambda v, xx: student.apply(
+        v, None, xx, training=False)[1].sum(dtype=jnp.float32))
+    si_s = time_scalar(
+        lambda: sinf({"params": s2.params,
+                      "batch_stats": s2.batch_stats}, feats),
+        iters=2, warmup=1)
+    emit({"stage": "student_inference_all_nodes",
+          "seconds": round(si_s, 3),
+          "note": "graph-free MLP3w8 forward over all 2.45M nodes — "
+                  "the serving artifact (vs full_graph_eval for the "
+                  "SAGE teacher)"})
+
+    # ---- fused attention at 62M edges (chunked plans) ----
+    import dataclasses
+
+    rs = np.random.RandomState(0)
+    src = rs.randint(0, N, E).astype(np.int64)
+    dst = rs.randint(0, N, E).astype(np.int64)
+    g = build_graph(src, dst, N, device=False)
+    del src, dst
+    snd_h, rec_h = g._host_edges
+    att = build_chunked_attention_plans(rec_h, snd_h, N, device=False)
+    g = dataclasses.replace(g, smx=att)
+    g = ship_packed(g)
+    h_n, d_n = 4, 25
+    feat3 = feats.reshape(N, h_n, d_n)
+    al = jax.random.normal(jax.random.PRNGKey(11), (h_n, d_n),
+                           jnp.float32) * 0.3
+    ar = jax.random.normal(jax.random.PRNGKey(12), (h_n, d_n),
+                           jnp.float32) * 0.3
+    att_fwd = jax.jit(lambda gg, f, a, b: ops.gat_attention(
+        gg, f, a, b).sum(dtype=jnp.float32))
+    fwd_s = time_scalar(att_fwd, g, feat3, al, ar, iters=2, warmup=1)
+    emit({"stage": "fused_attention_fwd_products",
+          "seconds": round(fwd_s, 3), "heads": h_n,
+          "edges_per_s": round(E / fwd_s, 1),
+          "chunks": len(g.smx) if isinstance(g.smx, tuple) else 1})
+    att_fb = jax.jit(jax.grad(
+        lambda f, a, b, gg: ops.gat_attention(gg, f, a, b)
+        .sum(dtype=jnp.float32), argnums=(0, 1, 2)))
+    fb = time_scalar(lambda f: att_fb(f, al, ar, g), feat3, iters=2,
+                     warmup=1)
+    emit({"stage": "fused_attention_fwd_bwd_products",
+          "seconds": round(fb, 3),
+          "edges_per_s_fwd_bwd": round(E / fb, 1),
+          "note": "uniform-geometry chunks: one fwd + one bwd kernel "
+                  "shape compiled, reused by all 16 chunks"})
+
+
+if __name__ == "__main__":
+    main()
