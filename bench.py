@@ -8,7 +8,11 @@ the north-star metric is edges/s/chip vs the HBM roofline).
 
 `vs_baseline` reports achieved / MEASURED speed-of-light, where the
 speed-of-light is the bare message gather of the op's own slots,
-timed in the same run (E / t_gather). No implementation of a
+timed in the same run (E / t_gather). Since the r5 clip-mode fix the
+op sits within measurement noise of its own gather, so the ratio
+prints 0.92-1.05 across runs — readings slightly above 1.0 mean the
+denominator's own ~5-10% relay jitter landed high, not that the op
+beat its gather. No implementation of a
 gather-based SpMM can beat the bare gather of its input on this
 part: the HBM random-row access rate (~250M rows/s / ~132 GB/s on
 v5e, PERF.md) binds it, not the spec bandwidth. The aspirational
