@@ -280,17 +280,21 @@ def main():
         extras["gcn3_teacher_step_ms"] = round(gcn_step_s * 1e3, 3)
         _stage(f"gcn step {gcn_step_s*1e3:.1f} ms", start)
         # teacher all-node inference (int8 eval tier default) — the
-        # serving-latency comparator for the student inference rows
-        from glnn_tpu.train import make_eval_fn
-        ev = make_eval_fn(model)
-        # state was donated by the loop above; re-init a fresh one
-        ev_state = create_train_state(model.init(k0, g, x), opt)
-        t_ev = small_time(
-            lambda c, p, bs, gg, xx: ev(p, bs, gg, xx + c * 1e-20)
-            .sum(dtype=jnp.float32) * 1e-20,
-            ev_state.params, ev_state.batch_stats, g, x)
-        extras["gcn3_inference_all_nodes_ms"] = round(t_ev * 1e3, 3)
-        _stage(f"gcn inference {t_ev*1e3:.1f} ms", start)
+        # serving-latency comparator for the student inference rows.
+        # Own try: a failure here must not clobber the step row above
+        try:
+            from glnn_tpu.train import make_eval_fn
+            ev = make_eval_fn(model)
+            # state was donated by the loop above; re-init a fresh one
+            ev_state = create_train_state(model.init(k0, g, x), opt)
+            t_ev = small_time(
+                lambda c, p, bs, gg, xx: ev(p, bs, gg, xx + c * 1e-20)
+                .sum(dtype=jnp.float32) * 1e-20,
+                ev_state.params, ev_state.batch_stats, g, x)
+            extras["gcn3_inference_all_nodes_ms"] = round(t_ev * 1e3, 3)
+            _stage(f"gcn inference {t_ev*1e3:.1f} ms", start)
+        except Exception as exc:  # pragma: no cover
+            extras["gcn3_inference_all_nodes_ms"] = f"error: {exc}"
     except Exception as exc:      # pragma: no cover
         extras["gcn3_teacher_step_ms"] = f"error: {exc}"
 
@@ -346,23 +350,28 @@ def main():
         _stage(f"mlp epoch {mlp_epoch_s*1e3:.1f} ms", start)
         # student all-node INFERENCE — the reference's headline story
         # (graph-free student beats GNN serving latency,
-        # imgs/trade_off.png); plus the r5 bf16 serving tier
-        t_inf = small_time(
-            lambda c, v, xx: student.apply(
-                v, None, xx + c * 1e-20, training=False)[1]
-            .sum(dtype=jnp.float32) * 1e-20,
-            {"params": sstate.params}, x)
-        extras["mlp3w4_inference_all_nodes_ms"] = round(t_inf * 1e3, 3)
-        student_bf = Model(dict(sconf, compute_dtype="bfloat16"))
-        v_bf = student_bf.init(k4, None, x[:2])
-        t_inf_bf = small_time(
-            lambda c, v, xx: student_bf.apply(
-                v, None, xx + c * 1e-20, training=False)[1]
-            .sum(dtype=jnp.float32) * 1e-20,
-            v_bf, x)
-        extras["mlp3w4_inference_bf16_ms"] = round(t_inf_bf * 1e3, 3)
-        _stage(f"mlp inference {t_inf*1e3:.1f} ms (bf16 "
-               f"{t_inf_bf*1e3:.1f})", start)
+        # imgs/trade_off.png); plus the r5 bf16 serving tier.
+        # Own try: a failure here must not clobber the epoch row above
+        try:
+            t_inf = small_time(
+                lambda c, v, xx: student.apply(
+                    v, None, xx + c * 1e-20, training=False)[1]
+                .sum(dtype=jnp.float32) * 1e-20,
+                {"params": sstate.params}, x)
+            extras["mlp3w4_inference_all_nodes_ms"] = round(t_inf * 1e3,
+                                                            3)
+            student_bf = Model(dict(sconf, compute_dtype="bfloat16"))
+            v_bf = student_bf.init(k4, None, x[:2])
+            t_inf_bf = small_time(
+                lambda c, v, xx: student_bf.apply(
+                    v, None, xx + c * 1e-20, training=False)[1]
+                .sum(dtype=jnp.float32) * 1e-20,
+                v_bf, x)
+            extras["mlp3w4_inference_bf16_ms"] = round(t_inf_bf * 1e3, 3)
+            _stage(f"mlp inference {t_inf*1e3:.1f} ms (bf16 "
+                   f"{t_inf_bf*1e3:.1f})", start)
+        except Exception as exc:  # pragma: no cover
+            extras["mlp3w4_inference_all_nodes_ms"] = f"error: {exc}"
     except Exception as exc:      # pragma: no cover
         extras["mlp3w4_student_epoch_ms"] = f"error: {exc}"
 

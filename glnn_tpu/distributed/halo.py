@@ -612,11 +612,12 @@ def halo_u_mul_e_sum(hg: HaloGraph, x: jax.Array, e: jax.Array) -> jax.Array:
     rows = hg.rows_per_shard
     et = hg.e_local + hg.e_halo
 
-    # same shape contract as the single-graph pallas dispatch: scalar
-    # weights with 2-D x, per-head weights with 3-D x. Other broadcast
-    # combinations (e.g. e [P*Et, F] elementwise) stay on the XLA tier
-    # below — _w_slot_messages would mis-fold them (review r5).
-    planned_shapes = ((x.ndim == 2 and e.ndim == 1)
+    # planned-tier shape contract: scalar per-edge weights (1-D e,
+    # any x rank — they multiply the flattened feature row) or
+    # per-head weights (2-D e with 3-D x). The (2-D x, 2-D e)
+    # elementwise-broadcast combination stays on the XLA tier below —
+    # _w_slot_messages would mis-fold it (review r5).
+    planned_shapes = (e.ndim == 1
                       or (x.ndim == 3 and e.ndim == 2))
     if _use_att_plans(hg) and planned_shapes:
         from glnn_tpu.ops.attention_plan import \
@@ -655,8 +656,8 @@ def halo_u_mul_e_sum(hg: HaloGraph, x: jax.Array, e: jax.Array) -> jax.Array:
 
     msgs = _gather_src_edges(hg, x)                  # [P*Et, ...]
     w = e
-    if w.ndim == msgs.ndim - 1:
-        w = w[..., None]
+    while w.ndim < msgs.ndim:                        # broadcast over
+        w = w[..., None]                             # trailing dims
     msgs = msgs * w
 
     def f(m_blk, dst):

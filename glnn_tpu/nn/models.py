@@ -35,11 +35,12 @@ from glnn_tpu.nn.layers import (
 )
 
 
-def _torch_dense(out_dim: int, in_dim: int) -> nn.Dense:
+def _torch_dense(out_dim: int, in_dim: int, dtype=None) -> nn.Dense:
     return nn.Dense(
         out_dim,
         kernel_init=gi.torch_linear_kernel,
         bias_init=gi.torch_linear_bias(in_dim),
+        dtype=dtype,
     )
 
 
@@ -63,12 +64,7 @@ class MLP(nn.Module):
         h_list = []
         for l in range(self.num_layers):
             out = self.output_dim if l == self.num_layers - 1 else self.hidden_dim
-            h = nn.Dense(
-                out,
-                kernel_init=gi.torch_linear_kernel,
-                bias_init=gi.torch_linear_bias(h.shape[-1]),
-                dtype=self.dtype,
-            )(h)
+            h = _torch_dense(out, h.shape[-1], dtype=self.dtype)(h)
             if l != self.num_layers - 1:
                 h_list.append(h)
                 if self.norm_type != "none":

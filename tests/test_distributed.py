@@ -626,3 +626,35 @@ def test_halo_u_mul_e_sum_broadcast_weights_fall_back(mesh8):
     finally:
         ops.set_backend("auto")
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_planned_halo_u_mul_e_sum_scalar_weights_multihead_x(mesh8):
+    """(3-D x, 1-D e): scalar per-edge weights broadcast over heads —
+    in-contract per the docstring and handled by the planned tier's
+    flattened-row multiply (review r5 follow-up: an earlier guard fix
+    accidentally excluded it)."""
+    from glnn_tpu.distributed.halo import halo_u_mul_e_sum
+
+    g, hg = _att_setup(mesh8, seed=11)
+    rs = np.random.RandomState(11)
+    et = hg.e_local + hg.e_halo
+    x = jnp.asarray(rs.randn(hg.n_pad, 2, 8).astype(np.float32))
+    e = jnp.asarray(rs.rand(hg.n_shards * et).astype(np.float32))
+    want = np.asarray(halo_u_mul_e_sum(hg, x, e))     # XLA tier
+    ops = _force_pallas()
+    try:
+        got = np.asarray(jax.jit(
+            lambda a, b: halo_u_mul_e_sum(hg, a, b))(x, e))
+        co = jnp.asarray(rs.randn(*want.shape).astype(np.float32))
+        gx_p, ge_p = jax.grad(
+            lambda a, b: (halo_u_mul_e_sum(hg, a, b) * co).sum(),
+            argnums=(0, 1))(x, e)
+    finally:
+        ops.set_backend("auto")
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=scale * 1e-2)
+    gx_r, ge_r = jax.grad(
+        lambda a, b: (halo_u_mul_e_sum(hg, a, b) * co).sum(),
+        argnums=(0, 1))(x, e)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=2e-2, atol=5e-2)
