@@ -658,3 +658,24 @@ def test_planned_halo_u_mul_e_sum_scalar_weights_multihead_x(mesh8):
         argnums=(0, 1))(x, e)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
                                rtol=2e-2, atol=5e-2)
+
+
+def test_attach_attention_plans_matches_build_flag(mesh8):
+    """attach_attention_plans on an existing HaloGraph produces the
+    same plans/maps as build_halo_graph(attention_plans=True)."""
+    from glnn_tpu.distributed.halo import attach_attention_plans
+
+    rs = np.random.RandomState(17)
+    n, e = 203, 1500
+    src, dst = rs.randint(0, n, e), rs.randint(0, n, e)
+    hg_a = build_halo_graph(src, dst, n, mesh8, attention_plans=True)
+    hg_b = attach_attention_plans(build_halo_graph(src, dst, n, mesh8))
+    assert hg_b.att is not None and hg_b.att_maps is not None
+    for f in ("src_idx", "slot_edge", "edge_slot", "rec_lane",
+              "rec_sub"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(hg_a.att, f)),
+            np.asarray(getattr(hg_b.att, f)))
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(hg_a.att_maps[i]),
+                                      np.asarray(hg_b.att_maps[i]))
